@@ -1,0 +1,207 @@
+"""Continuous-time DDPM as pure JAX functions.
+
+Capability parity with the reference diffusion core
+(/root/reference/vq_voice_swap/diffusion/diffusion.py:9-157): forward noising
+q(x_t|x_0), epsilon <-> x0 conversions, the reverse ancestral step with
+small/large sigma, optional guidance applied to the posterior mean, optional
+x0-constraining (mean-subtract then clamp), and the full ancestral sampler.
+
+TPU-first design notes:
+  - The sampler is a single ``lax.scan`` over steps, so the whole reverse
+    process compiles to one XLA program (the reference runs a Python loop with
+    per-step host tensor construction, diffusion.py:106-131).
+  - Randomness is explicit: every function that draws noise takes a JAX PRNG
+    key. The final-step zero-noise rule (diffusion.py:127) is implemented with
+    a traced ``jnp.where`` mask, keeping the scan body shape-static.
+  - Timestep warps (sample-time schedules) are traced callables, see warp.py.
+
+All math is carried out in float32 regardless of the model compute dtype, to
+preserve sampler numerics.
+"""
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import Schedule
+
+__all__ = ["Diffusion", "broadcast_to_batch"]
+
+PredictorFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+CondFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def broadcast_to_batch(ts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Reshape a [N] vector so it broadcasts against [N, ...] data."""
+    return jnp.reshape(ts, ts.shape + (1,) * (x.ndim - ts.ndim)).astype(x.dtype)
+
+
+@dataclass(frozen=True)
+class Diffusion:
+    """A continuous-time diffusion process for a given noise schedule."""
+
+    schedule: Schedule
+
+    # ---------------------------------------------------------------- forward
+
+    def sample_q(
+        self,
+        x_0: jnp.ndarray,
+        ts: jnp.ndarray,
+        epsilon: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Sample q(x_t | x_0) = sqrt(a) x_0 + sqrt(1-a) eps."""
+        alphas = broadcast_to_batch(self.schedule(ts), x_0)
+        return jnp.sqrt(alphas) * x_0 + jnp.sqrt(1.0 - alphas) * epsilon
+
+    def eps_to_x0(
+        self, x_t: jnp.ndarray, ts: jnp.ndarray, eps_pred: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Mean of p(x_0 | x_t) given the model's epsilon prediction."""
+        alphas = broadcast_to_batch(self.schedule(ts), x_t)
+        return (x_t - jnp.sqrt(1.0 - alphas) * eps_pred) * jax.lax.rsqrt(alphas)
+
+    def x0_to_eps(
+        self, x_t: jnp.ndarray, ts: jnp.ndarray, x_0: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Inverse of eps_to_x0 with respect to epsilon."""
+        alphas = broadcast_to_batch(self.schedule(ts), x_t)
+        return (x_t - x_0 * jnp.sqrt(alphas)) * jax.lax.rsqrt(1.0 - alphas)
+
+    # ---------------------------------------------------------------- reverse
+
+    def ddpm_previous(
+        self,
+        x_t: jnp.ndarray,
+        ts: jnp.ndarray,
+        step: jnp.ndarray,
+        eps_pred: jnp.ndarray,
+        noise: jnp.ndarray,
+        sigma_large: bool = False,
+        constrain: bool = False,
+        cond_fn: Optional[CondFn] = None,
+    ) -> jnp.ndarray:
+        """One reverse ancestral step x_t -> x_{t-step}.
+
+        ``step`` may be a scalar or a [N] vector (a vector arises under
+        sample-time warps where the warped step size is t-dependent).
+        Guidance (cond_fn) shifts the posterior *mean* by sigma^2 * grad and
+        is then folded back into an equivalent epsilon; the x0 constraint
+        subtracts the per-sequence mean before clamping to [-1, 1]
+        (matching reference diffusion.py:75-90 semantics).
+        """
+        alphas_t = broadcast_to_batch(self.schedule(ts), x_t)
+        alphas_prev = broadcast_to_batch(self.schedule(ts - step), x_t)
+        alphas = alphas_t / alphas_prev
+        betas = 1.0 - alphas
+
+        def eps_to_prev(eps):
+            return jax.lax.rsqrt(alphas) * (
+                x_t - betas * jax.lax.rsqrt(1.0 - alphas_t) * eps
+            )
+
+        def prev_to_eps(prev):
+            return (
+                (-prev * jnp.sqrt(alphas) + x_t) * jnp.sqrt(1.0 - alphas_t) / betas
+            )
+
+        if sigma_large:
+            sigmas = betas
+        else:
+            sigmas = betas * (1.0 - alphas_prev) / (1.0 - alphas_t)
+
+        if cond_fn is not None:
+            mean_pred = eps_to_prev(eps_pred)
+            mean_pred = mean_pred + sigmas * cond_fn(mean_pred, ts - step)
+            eps_pred = prev_to_eps(mean_pred)
+
+        if constrain:
+            x0 = self.eps_to_x0(x_t, ts, eps_pred)
+            # Subtract per-sequence mean over all non-batch axes, then clamp.
+            x0_mean = jnp.mean(x0, axis=tuple(range(1, x0.ndim)), keepdims=True)
+            x0 = jnp.clip(x0 - x0_mean, -1.0, 1.0)
+            eps_pred = self.x0_to_eps(x_t, ts, x0)
+
+        return eps_to_prev(eps_pred) + jnp.sqrt(sigmas) * noise
+
+    def ddpm_sample(
+        self,
+        x_T: jnp.ndarray,
+        predictor: PredictorFn,
+        steps: int,
+        rng: jax.Array,
+        sigma_large: bool = False,
+        constrain: bool = False,
+        cond_fn: Optional[CondFn] = None,
+        warp: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """Sample x_0 from x_T with ``steps`` reverse steps, as one lax.scan.
+
+        ``predictor(x_t, ts) -> eps`` closes over model params / conditioning.
+        ``warp`` optionally remaps timesteps (e.g. t -> t**2); the warped step
+        size warp(t) - warp(t - 1/steps) is used, matching the reference's
+        sample-time re-schedule (diffusion.py:116-118).
+        """
+        batch = x_T.shape[0]
+        dt = 1.0 / steps
+
+        def body(x_t, inputs):
+            i, key = inputs
+            # Step i visits t = (steps - i) / steps, descending from 1.0.
+            t = (steps - i).astype(jnp.float32) * dt
+            if warp is not None:
+                step = warp(t) - warp(t - dt)
+                t = warp(t)
+            else:
+                step = jnp.asarray(dt, dtype=jnp.float32)
+            ts = jnp.full((batch,), t, dtype=jnp.float32)
+
+            eps = predictor(x_t, ts)
+            # Zero noise on the final step (i == steps - 1).
+            is_last = (i == steps - 1).astype(x_t.dtype)
+            noise = jax.random.normal(key, x_T.shape, dtype=x_T.dtype)
+            noise = noise * (1.0 - is_last)
+            x_prev = self.ddpm_previous(
+                x_t=x_t,
+                ts=ts,
+                step=step,
+                eps_pred=eps,
+                noise=noise,
+                sigma_large=sigma_large,
+                constrain=constrain,
+                cond_fn=cond_fn,
+            )
+            return x_prev, None
+
+        keys = jax.random.split(rng, steps)
+        x_0, _ = jax.lax.scan(body, x_T, (jnp.arange(steps), keys))
+        return x_0
+
+    # ---------------------------------------------------------------- losses
+
+    def ddpm_losses(
+        self,
+        x: jnp.ndarray,
+        predictor: PredictorFn,
+        rng: Optional[jax.Array] = None,
+        ts: Optional[jnp.ndarray] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Per-batch-element epsilon-MSE (reference diffusion.py:135-151).
+
+        Either provide ``rng`` (ts/noise drawn internally) or pass both ``ts``
+        and ``noise`` explicitly.
+        """
+        if ts is None or noise is None:
+            assert rng is not None, "need rng when ts/noise are not given"
+            t_key, n_key = jax.random.split(rng)
+            if ts is None:
+                ts = jax.random.uniform(t_key, (x.shape[0],), dtype=jnp.float32)
+            if noise is None:
+                noise = jax.random.normal(n_key, x.shape, dtype=x.dtype)
+        samples = self.sample_q(x, ts, epsilon=noise)
+        noise_pred = predictor(samples, ts)
+        sq = jnp.square(noise - noise_pred)
+        return jnp.mean(jnp.reshape(sq, (x.shape[0], -1)), axis=1)

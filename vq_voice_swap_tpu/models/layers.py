@@ -1,0 +1,242 @@
+"""Shared neural building blocks for the 1-D audio model zoo.
+
+All modules use channel-last [N, T, C] layout: the channel axis maps onto TPU
+vector lanes and conv/matmul contractions hit the MXU without layout
+transposes (the reference uses torch-style [N, C, T]).
+
+Capability parity sources (cited per block):
+  - TimeEmbedding: /root/reference/vq_voice_swap/models/wavegrad.py:352-373
+  - ResBlock / Resize / normalization / scale_module:
+    /root/reference/vq_voice_swap/models/unet.py:248-356
+"""
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "TimeEmbedding",
+    "ResBlock",
+    "Conv1d",
+    "adaptive_group_count",
+    "GroupNorm",
+    "scaled_init",
+    "gelu",
+    "avg_pool_1d",
+    "nearest_upsample_1d",
+    "nearest_resize_1d",
+]
+
+Dtype = Any
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf-based) GELU, matching torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def scaled_init(base: Callable, scale: float) -> Callable:
+    """Wrap an initializer, multiplying its output by ``scale``.
+
+    Used for zero-init output convs (scale=0) and 0.1-scaled conditioning
+    layers (reference unet.py:277, 352-356).
+    """
+    if scale == 0.0:
+        return nn.initializers.zeros_init()
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) * scale
+
+    return init
+
+
+def adaptive_group_count(ch: int, max_groups: int = 32) -> int:
+    """Largest power-of-two group count <= max_groups dividing ch."""
+    g = max_groups
+    while ch % g:
+        g //= 2
+    return g
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over [N, T, C] with 'SAME'-style explicit padding.
+
+    kernel layout (K, C_in, C_out); lowers to lax.conv_general_dilated which
+    XLA maps onto the MXU for large channel counts.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = (self.kernel_size - 1) * self.dilation // 2
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, pad)],
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the channel axis of [N, T, C], adaptive group count.
+
+    Mirrors the reference's `normalization()` helper (unet.py:345-349): 32
+    groups, halved until it divides the channel count. Statistics in float32.
+    """
+
+    max_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ch = x.shape[-1]
+        return nn.GroupNorm(
+            num_groups=adaptive_group_count(ch, self.max_groups),
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            name="norm",
+        )(x)
+
+
+class TimeEmbedding(nn.Module):
+    """Sinusoidal timestep embedding with frequencies geometric in
+    [0.1, 100], followed by a linear projection.
+
+    Capability parity: reference wavegrad.py:352-373. Input ts is [N] in
+    [0, 1]; output is [N, channels].
+    """
+
+    channels: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, ts: jnp.ndarray) -> jnp.ndarray:
+        assert self.channels % 2 == 0, "TimeEmbedding channels must be even"
+        half = self.channels // 2
+        min_coeff, max_coeff = 0.1, 100.0
+        exponents = jnp.arange(half, dtype=jnp.float32) / (half - 1)
+        freqs = max_coeff * jnp.exp(-math.log(max_coeff / min_coeff) * exponents)
+        args = ts.astype(jnp.float32)[:, None] * freqs[None, :]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        if self.dtype is not None:
+            emb = emb.astype(self.dtype)
+        return nn.Dense(self.channels, dtype=self.dtype, name="proj")(emb)
+
+
+def avg_pool_1d(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Non-overlapping average pooling over the T axis of [N, T, C]."""
+    n, t, c = x.shape
+    assert t % factor == 0, f"length {t} not divisible by pool factor {factor}"
+    return jnp.mean(jnp.reshape(x, (n, t // factor, factor, c)), axis=2)
+
+
+def nearest_upsample_1d(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Nearest-neighbor upsampling over the T axis of [N, T, C]."""
+    return jnp.repeat(x, factor, axis=1)
+
+
+def nearest_resize_1d(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Nearest-neighbor resize of [N, T, C] to [N, out_len, C].
+
+    Index selection matches torch F.interpolate(mode="nearest"):
+    src = floor(i * T / out_len).
+    """
+    t = x.shape[1]
+    if t == out_len:
+        return x
+    idx = jnp.floor(jnp.arange(out_len) * (t / out_len)).astype(jnp.int32)
+    return jnp.take(x, idx, axis=1)
+
+
+class ResBlock(nn.Module):
+    """The UNet residual block (reference unet.py:248-316).
+
+    Structure: [GroupNorm, GELU, resize, conv3, GroupNorm] -> optional
+    FiLM-ish scale/shift from an embedding (h * (a + 1) + b, with the
+    embedding MLP 0.1-scaled at init) -> [GELU, dropout?, dilated conv3
+    zero-init]; skip path resizes and 1x1-projects when channels change.
+
+    scale_factor 1.0 = identity, 0.5 = avg-pool x2 down, 2.0 = nearest x2 up.
+    """
+
+    out_channels: Optional[int] = None
+    use_emb: bool = False
+    scale_factor: float = 1.0
+    dilation: int = 2
+    dropout: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    def _resize(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.scale_factor == 1.0:
+            return x
+        if self.scale_factor < 1.0:
+            factor = int(round(1.0 / self.scale_factor))
+            assert abs(1.0 / factor - self.scale_factor) < 1e-5
+            return avg_pool_1d(x, factor)
+        factor = int(round(self.scale_factor))
+        assert abs(float(factor) - self.scale_factor) < 1e-5
+        return nearest_upsample_1d(x, factor)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        emb: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        assert (emb is not None) == self.use_emb
+
+        h = GroupNorm(dtype=self.dtype, name="norm_in")(x)
+        h = gelu(h)
+        h = self._resize(h)
+        h = Conv1d(out_ch, 3, dtype=self.dtype, name="conv_in")(h)
+        h = GroupNorm(dtype=self.dtype, name="norm_mid")(h)
+
+        if self.use_emb:
+            cond = gelu(emb)
+            cond_ab = nn.Dense(
+                out_ch * 2,
+                kernel_init=scaled_init(nn.initializers.lecun_normal(), 0.1),
+                bias_init=scaled_init(nn.initializers.zeros_init(), 0.1),
+                dtype=self.dtype,
+                name="cond_proj",
+            )(cond)
+            cond_a, cond_b = jnp.split(cond_ab[:, None, :], 2, axis=-1)
+            h = h * (cond_a + 1.0) + cond_b
+
+        h = gelu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = Conv1d(
+            out_ch,
+            3,
+            dilation=self.dilation,
+            kernel_init=scaled_init(nn.initializers.lecun_normal(), 0.0),
+            dtype=self.dtype,
+            name="conv_out",
+        )(h)
+
+        skip = self._resize(x)
+        if in_ch != out_ch:
+            skip = Conv1d(out_ch, 1, dtype=self.dtype, name="skip_proj")(skip)
+        return skip + h
