@@ -1,0 +1,138 @@
+"""Sample an unconditional / class-conditional / classifier-guided diffusion
+model and write .wav files.
+
+Capability parity with /root/reference/sample_diffusion.py: single or many
+samples, classifier guidance (grad of log p(y|x,t) scaled by
+--classifier-scale), fixed or random target class, x0-constraining, and a
+sample-time timestep schedule — which here is a *named* warp
+(--schedule quadratic reproduces the README's t=s^2 recipe) instead of an
+eval()'d lambda. The whole reverse process runs as one jitted lax.scan; with
+--num-samples the batched sampler is reused across batches (one compile).
+"""
+
+import argparse
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_voice_swap_tpu.classifier_model import ClassifierModel
+from vq_voice_swap_tpu.data import ChunkWriter
+from vq_voice_swap_tpu.diffusion import make_warp
+from vq_voice_swap_tpu.diffusion_model import DiffusionModel
+
+SAMPLE_LEN = 64000
+SAMPLE_RATE = 16000
+
+
+def main():
+    args = arg_parser().parse_args()
+    warp = make_warp(args.schedule)
+
+    model, variables = DiffusionModel.load(args.checkpoint_path)
+
+    classifier = None
+    clf_vars = None
+    if args.classifier_path:
+        classifier, clf_vars = ClassifierModel.load(args.classifier_path)
+
+    def build_cond_fn(labels):
+        if classifier is None:
+            return None
+
+        def cond_fn(x, ts):
+            def logprob_sum(xx):
+                logits = classifier.logits(clf_vars, xx, ts)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                return jnp.sum(
+                    jnp.take_along_axis(logp, labels[:, None], axis=-1)
+                )
+
+            return jax.grad(logprob_sum)(x) * args.classifier_scale
+
+        return cond_fn
+
+    @partial(jax.jit, static_argnames=("batch",))
+    def sample_batch(rng, labels, batch):
+        noise_rng, samp_rng = jax.random.split(rng)
+        x_T = jax.random.normal(noise_rng, (batch, SAMPLE_LEN, 1))
+        pred = (
+            (lambda xs, ts: model.predict_eps(variables, xs, ts, labels=labels))
+            if model.num_labels is not None
+            else (lambda xs, ts: model.predict_eps(variables, xs, ts))
+        )
+        return model.diffusion.ddpm_sample(
+            x_T,
+            pred,
+            steps=args.sample_steps,
+            rng=samp_rng,
+            constrain=args.constrain,
+            cond_fn=build_cond_fn(labels),
+            warp=warp,
+        )
+
+    def sample_labels(rng, batch):
+        if model.num_labels is None:
+            return None
+        if args.target_class is not None:
+            return jnp.full((batch,), args.target_class, dtype=jnp.int32)
+        return jax.random.randint(rng, (batch,), 0, model.num_labels)
+
+    root = jax.random.key(args.seed)
+    if args.num_samples is None:
+        rng, label_rng = jax.random.split(root)
+        labels = sample_labels(label_rng, 1)
+        sample = sample_batch(rng, labels, 1)
+        write_wav(args.sample_path, sample[0, :, 0], args.encoding)
+        print(f"wrote {args.sample_path}")
+    else:
+        os.makedirs(args.sample_path, exist_ok=True)
+        count = 0
+        num_batches = int(math.ceil(args.num_samples / args.batch_size))
+        for i in range(num_batches):
+            rng, label_rng = jax.random.split(jax.random.fold_in(root, i))
+            labels = sample_labels(label_rng, args.batch_size)
+            samples = np.asarray(sample_batch(rng, labels, args.batch_size))
+            for seq in samples:
+                if count == args.num_samples:
+                    break
+                path = os.path.join(args.sample_path, f"sample_{count:06}.wav")
+                write_wav(path, seq[:, 0], args.encoding)
+                count += 1
+            print(f"generated {count}/{args.num_samples}")
+
+
+def write_wav(path, samples, encoding):
+    writer = ChunkWriter(path, SAMPLE_RATE, encoding=encoding)
+    try:
+        writer.write(np.asarray(samples).reshape(-1))
+    finally:
+        writer.close()
+
+
+def arg_parser():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("--checkpoint-path", default="model_diffusion.npz",
+                        type=str)
+    parser.add_argument("--sample-steps", default=100, type=int)
+    parser.add_argument("--batch-size", default=1, type=int)
+    parser.add_argument("--constrain", action="store_true")
+    parser.add_argument("--sample-path", default="sample.wav", type=str)
+    parser.add_argument("--num-samples", default=None, type=int)
+    parser.add_argument("--classifier-path", default=None, type=str)
+    parser.add_argument("--classifier-scale", default=1.0, type=float)
+    parser.add_argument("--target-class", default=None, type=int)
+    parser.add_argument("--schedule", default="linear", type=str,
+                        help="named time warp: linear|quadratic|sqrt|pow:X")
+    parser.add_argument("--encoding", default="linear", type=str)
+    parser.add_argument("--seed", default=0, type=int)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

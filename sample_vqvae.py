@@ -1,0 +1,95 @@
+"""Speaker conversion: encode a clip, decode with a target speaker label.
+
+Capability parity with /root/reference/sample_vqvae.py: reads >= N seconds of
+audio, encodes to VQ codes (or raw encoder output with --no-vq), decodes with
+--label and constrain=True, optional encoder-predictor gradient guidance, and
+--check-vq re-encode consistency reporting. Decoding runs as one jitted
+lax.scan on device.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_voice_swap_tpu.classifier_model import EncoderPredictorModel
+from vq_voice_swap_tpu.data import ChunkReader, ChunkWriter
+from vq_voice_swap_tpu.vq_vae import VQVAE
+
+
+def main():
+    args = arg_parser().parse_args()
+
+    print("loading model from checkpoint...")
+    model, variables = VQVAE.load(args.checkpoint_path)
+    assert args.label < model.num_labels, "label out of range"
+
+    enc_pred = None
+    if args.enc_pred_path:
+        print("loading encoder predictor...")
+        ep_model, ep_vars = EncoderPredictorModel.load(args.enc_pred_path)
+        enc_pred = (ep_model.module, ep_vars)
+
+    print(f"loading waveform from {args.input_file}...")
+    with ChunkReader(
+        args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
+    ) as reader:
+        chunk = reader.read(args.seconds * args.sample_rate)
+    in_seq = jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
+
+    print("encoding audio sequence...")
+    if args.no_vq:
+        encoded = model.encode_raw(variables, in_seq)
+    else:
+        encoded = model.encode(variables, in_seq)
+
+    print("decoding audio samples...")
+    labels = jnp.asarray([args.label], dtype=jnp.int32)
+    sample = jax.jit(
+        lambda v, codes, lab, rng: model.decode(
+            v, codes, rng,
+            labels=lab,
+            steps=args.sample_steps,
+            constrain=True,
+            enc_pred=enc_pred,
+            enc_pred_scale=args.enc_pred_scale,
+        )
+    )(variables, encoded, labels, jax.random.key(args.seed))
+
+    if args.check_vq:
+        assert not args.no_vq
+        re_encoded = model.encode(variables, sample)
+        agreement = float(jnp.mean((re_encoded == encoded).astype(jnp.float32)))
+        print(f"fraction of consistent VQ codes: {agreement}")
+
+    out = np.clip(np.asarray(sample).reshape(-1), -1, 1)
+    print(f"saving result to {args.output_file}...")
+    with ChunkWriter(
+        args.output_file, sample_rate=args.sample_rate, encoding=args.encoding
+    ) as writer:
+        writer.write(out)
+
+
+def arg_parser():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("--sample-rate", type=int, default=16000)
+    parser.add_argument("--sample-steps", type=int, default=100)
+    parser.add_argument("--seconds", type=int, default=4)
+    parser.add_argument("--label", type=int, required=True)
+    parser.add_argument("--input-file", type=str, required=True)
+    parser.add_argument("--encoding", type=str, default="linear")
+    parser.add_argument("--enc-pred-path", type=str, default=None)
+    parser.add_argument("--enc-pred-scale", type=float, default=1.0)
+    parser.add_argument("--no-vq", action="store_true")
+    parser.add_argument("--check-vq", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("checkpoint_path", type=str)
+    parser.add_argument("output_file", type=str)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Tests for the self-describing checkpoint format and model wrappers."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vq_voice_swap_tpu.checkpoint import (
+    copy_intersection,
+    load_checkpoint,
+    save_checkpoint,
+    tree_size,
+)
+from vq_voice_swap_tpu.diffusion_model import (
+    DiffusionModel,
+    add_labels_to_params,
+    label_param_paths,
+)
+from vq_voice_swap_tpu.model_base import ModelBase
+
+
+def test_save_load_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "ckpt.npz")
+    variables = {
+        "params": {"a": np.ones((2, 3), np.float32),
+                   "b": {"c": np.arange(4, dtype=np.int32)}},
+        "buffers": {"u": np.zeros(5, np.int32)},
+    }
+    save_checkpoint(path, "Test", {"x": 1, "y": "z"}, variables)
+    cls, kwargs, loaded, extra = load_checkpoint(path)
+    assert cls == "Test" and kwargs == {"x": 1, "y": "z"} and extra == {}
+    np.testing.assert_array_equal(loaded["params"]["a"], variables["params"]["a"])
+    np.testing.assert_array_equal(
+        loaded["params"]["b"]["c"], variables["params"]["b"]["c"]
+    )
+    np.testing.assert_array_equal(loaded["buffers"]["u"], variables["buffers"]["u"])
+
+
+def test_copy_intersection():
+    dst = {"a": np.zeros((2,)), "b": {"c": np.zeros((3,))}, "d": np.zeros(1)}
+    src = {"a": np.ones((2,)), "b": {"c": np.ones((3,))}, "e": np.ones(9)}
+    out, n = copy_intersection(dst, src)
+    assert n == 5
+    np.testing.assert_array_equal(np.asarray(out["a"]), 1)
+    np.testing.assert_array_equal(np.asarray(out["b"]["c"]), 1)
+    np.testing.assert_array_equal(np.asarray(out["d"]), 0)
+
+    bad_src = {"a": np.ones((3,))}
+    with pytest.raises(ValueError):
+        copy_intersection(dst, bad_src)
+
+
+def test_tree_size():
+    assert tree_size({"a": np.zeros((2, 3)), "b": np.zeros(4)}) == 10
+
+
+def _tiny_dm(**kw):
+    return DiffusionModel(
+        pred_name="wavegrad", base_channels=2, num_labels=3, **kw
+    )
+
+
+def test_diffusion_model_save_load(tmp_path):
+    model = _tiny_dm()
+    variables = model.init_variables(jax.random.key(0), seq_len=128)
+    path = os.path.join(tmp_path, "model.npz")
+    model.save(path, variables)
+
+    loaded_model, loaded_vars = DiffusionModel.load(path)
+    assert loaded_model.pred_name == "wavegrad"
+    assert loaded_model.num_labels == 3
+    assert tree_size(loaded_vars) == tree_size(variables)
+
+    # ModelBase.load dispatches on the stored class name.
+    any_model, _ = ModelBase.load(path)
+    assert isinstance(any_model, DiffusionModel)
+
+
+def test_label_surgery():
+    model = _tiny_dm()
+    variables = model.init_variables(jax.random.key(0), seq_len=128)
+    paths = label_param_paths(variables["params"]["predictor"])
+    # WaveGrad has a label_emb in each of 3 FiLM layers x 5 UBlocks.
+    assert len(paths) == 15
+
+    new_model, new_vars = model.add_labels(variables, 2)
+    assert new_model.num_labels == 5
+    from flax import traverse_util
+
+    flat_old = traverse_util.flatten_dict(
+        variables["params"]["predictor"], sep="/"
+    )
+    flat_new = traverse_util.flatten_dict(
+        new_vars["params"]["predictor"], sep="/"
+    )
+    for p in paths:
+        old, new = np.asarray(flat_old[p]), np.asarray(flat_new[p])
+        assert new.shape[0] == old.shape[0] + 2
+        np.testing.assert_array_equal(new[:3], old)  # end=True keeps prefix
+
+    # end=False prepends.
+    _, pre_vars = model.add_labels(variables, 1, end=False)
+    flat_pre = traverse_util.flatten_dict(
+        pre_vars["params"]["predictor"], sep="/"
+    )
+    for p in paths:
+        np.testing.assert_array_equal(
+            np.asarray(flat_pre[p])[1:], np.asarray(flat_old[p])
+        )
+
+
+def test_load_from_pretrained_partial(tmp_path):
+    model = _tiny_dm()
+    v1 = model.init_variables(jax.random.key(0), seq_len=128)
+    v2 = model.init_variables(jax.random.key(1), seq_len=128)
+    merged, n = model.load_from_pretrained(v1, v2)
+    assert n == tree_size(v2)
+    chex_equal = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), merged, v2
+    )
+    assert all(jax.tree.leaves(chex_equal))

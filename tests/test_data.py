@@ -1,0 +1,124 @@
+"""Tests for audio I/O, µ-law codecs, datasets, and the data loader."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from vq_voice_swap_tpu.data import (
+    ChunkReader,
+    ChunkWriter,
+    DataLoader,
+    LibriSpeech,
+    ToneDataset,
+    create_data_loader,
+    decode_u_law,
+    encode_u_law,
+    lookup_audio_duration,
+)
+
+
+def test_ulaw_roundtrip():
+    x = np.linspace(-1, 1, 101).astype(np.float32)
+    y = encode_u_law(x)
+    z = decode_u_law(y)
+    np.testing.assert_allclose(z, x, atol=1e-5)
+    assert np.abs(y).max() <= 1.0 + 1e-6
+    # Companding: small values are amplified.
+    assert abs(encode_u_law(np.asarray([0.01]))[0]) > 0.01
+
+
+def test_tone_dataset():
+    ds = ToneDataset()
+    assert len(ds) == 30
+    item = ds[0]
+    assert item["label"] == 0
+    assert item["samples"].shape == (64000,)
+    assert np.abs(item["samples"]).max() <= 1.0
+    # Different phases for same speaker.
+    a, b = ds[0]["samples"], ds[3]["samples"]
+    assert not np.allclose(a, b)
+    # ulaw encoding changes values.
+    ds_u = ToneDataset(encoding="ulaw")
+    assert not np.allclose(ds_u[0]["samples"], ds[0]["samples"])
+
+
+def test_create_data_loader_tones():
+    loader, num_labels = create_data_loader("tones", batch_size=4)
+    assert num_labels == 3
+    batch = next(iter(loader))
+    assert batch["samples"].shape == (4, 64000)
+    assert batch["label"].shape == (4,)
+    assert batch["samples"].dtype == np.float32
+
+
+def test_data_loader_drop_last_and_shuffle():
+    ds = ToneDataset()
+    loader = DataLoader(ds, batch_size=7, shuffle=True, drop_last=True,
+                        num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 30 // 7
+    # Two epochs shuffle differently.
+    first = np.concatenate([b["label"] for b in loader])
+    second = np.concatenate([b["label"] for b in loader])
+    assert not np.array_equal(first, second)
+
+
+def _write_wav(path, samples, rate=16000):
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+
+
+def test_wav_chunk_reader_writer(tmp_path):
+    path = os.path.join(tmp_path, "test.wav")
+    t = np.arange(8000) / 16000
+    signal = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    with ChunkWriter(path, 16000) as writer:
+        writer.write(signal)
+    assert os.path.exists(path)
+    assert abs(lookup_audio_duration(path) - 0.5) < 0.05
+
+    with ChunkReader(path, 16000) as reader:
+        first = reader.read(4000)
+        second = reader.read(4000)
+        tail = reader.read(4000)
+    np.testing.assert_allclose(first, signal[:4000], atol=1e-3)
+    np.testing.assert_allclose(second, signal[4000:], atol=1e-3)
+    assert tail is None or len(tail) == 0
+
+
+def test_librispeech_directory(tmp_path):
+    # Two speakers x one file each; 1 s clips -> single window per file.
+    for speaker in ["spk_a", "spk_b"]:
+        os.makedirs(os.path.join(tmp_path, speaker))
+        _write_wav(
+            os.path.join(tmp_path, speaker, "utt1.wav"),
+            np.random.RandomState(0).randn(16000) * 0.1,
+        )
+    ds = LibriSpeech(str(tmp_path), window_duration=1.0)
+    assert ds.speaker_ids == ["spk_a", "spk_b"]
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["samples"].shape == (16000,)
+    assert item["label"] in (0, 1)
+    # Index cached to disk.
+    assert os.path.exists(os.path.join(tmp_path, "index.json"))
+    # Re-instantiation uses the cache.
+    ds2 = LibriSpeech(str(tmp_path), window_duration=1.0)
+    assert len(ds2) == 2
+
+
+def test_librispeech_windowing(tmp_path):
+    os.makedirs(os.path.join(tmp_path, "spk"))
+    _write_wav(os.path.join(tmp_path, "spk", "long.wav"),
+               np.zeros(32000, np.float32))  # 2 s
+    ds = LibriSpeech(str(tmp_path), window_duration=1.0, window_spacing=0.5)
+    # total usable = 2 - 0.05 slack; windows at 0.0, 0.5 (1.0+1 >= end)
+    assert len(ds) == 2
+    offsets = sorted(w.offset for w in ds.windows)
+    assert offsets == [0, 8000]

@@ -1,0 +1,96 @@
+"""Tests for logger resume truncation, loss tracker, smoothing, and EMA."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from vq_voice_swap_tpu.observe import (
+    Logger,
+    LossTracker,
+    moving_average,
+    read_log,
+)
+from vq_voice_swap_tpu.train.ema import (
+    build_rate_tree,
+    ema_update,
+    lookup_longest_prefix,
+)
+
+
+def test_logger_roundtrip_and_resume(tmp_path):
+    path = os.path.join(tmp_path, "log.txt")
+    logger = Logger(path)
+    logger.log(1, loss=0.5, q0=1.0)
+    logger.log(2, loss=0.4)
+    logger.mark_save()
+    logger.log(3, loss=0.3)  # after save: should be truncated on resume
+    logger.close()
+
+    entries = list(read_log(path))
+    assert [e[0] for e in entries] == [1, 2, 3]
+    assert entries[0][1] == {"loss": 0.5, "q0": 1.0}
+
+    resumed = Logger(path, resume=True)
+    assert resumed.start_step == 2
+    resumed.log(1, loss=0.2)  # logs as global step 3
+    resumed.close()
+    entries = list(read_log(path))
+    assert [e[0] for e in entries] == [1, 2, 3]
+    assert entries[-1][1]["loss"] == 0.2
+
+
+def test_logger_resume_without_save_marker(tmp_path):
+    path = os.path.join(tmp_path, "log.txt")
+    logger = Logger(path)
+    logger.log(1, loss=1.0)
+    logger.log(2, loss=0.9)
+    logger.close()
+    resumed = Logger(path, resume=True)
+    assert resumed.start_step == 2
+    resumed.close()
+
+
+def test_loss_tracker_quantiles():
+    tracker = LossTracker(quantiles=4, avg_size=10)
+    ts = np.asarray([0.1, 0.3, 0.6, 0.9])
+    losses = np.asarray([1.0, 2.0, 3.0, 4.0])
+    tracker.add(ts, losses)
+    d = tracker.log_dict()
+    assert d == {"q0": 1.0, "q1": 2.0, "q2": 3.0, "q3": 4.0}
+
+    # t=1.0 lands in the last bucket (the 1e-8 backoff).
+    tracker.add(np.asarray([1.0]), np.asarray([8.0]))
+    assert tracker.log_dict()["q3"] == 6.0
+
+
+def test_loss_tracker_window():
+    tracker = LossTracker(quantiles=1, avg_size=3)
+    tracker.add(np.zeros(5), np.asarray([1, 2, 3, 4, 5.0]))
+    assert tracker.log_dict()["q0"] == 4.0  # mean of last 3
+
+
+def test_moving_average_matches_naive():
+    xs = np.random.RandomState(0).randn(50)
+    for w in [1, 3, 10, 49, 50, 60]:
+        got = moving_average(xs, w)
+        naive = np.asarray(
+            [np.mean(xs[max(0, k - w + 1):k + 1]) for k in range(len(xs))]
+        )
+        np.testing.assert_allclose(got, naive, rtol=1e-10, atol=1e-10)
+
+
+def test_ema_prefix_lookup():
+    rates = {"": 0.9, "a/b": 0.5}
+    assert lookup_longest_prefix(rates, "c/d") == 0.9
+    assert lookup_longest_prefix(rates, "a/b/c") == 0.5
+
+
+def test_ema_update():
+    params = {"w": jnp.asarray(2.0), "frozen": {"x": jnp.asarray(4.0)}}
+    ema = {"w": jnp.asarray(0.0), "frozen": {"x": jnp.asarray(0.0)}}
+    rates = build_rate_tree(params, {"": 0.5, "frozen": 1.0})
+    out = ema_update(ema, params, rates)
+    # w: 0 + (1-0.5)*(2-0) = 1. frozen/x: rate 1.0 -> unchanged.
+    np.testing.assert_allclose(float(out["w"]), 1.0)
+    np.testing.assert_allclose(float(out["frozen"]["x"]), 0.0)

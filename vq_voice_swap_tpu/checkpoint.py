@@ -1,0 +1,121 @@
+"""Self-describing single-file checkpoints.
+
+Capability parity with the reference's Savable format
+(/root/reference/vq_voice_swap/models/base.py:63-134): a checkpoint embeds the
+model class name and constructor kwargs next to the weights, so ``load(path)``
+can rebuild the model without outside configuration; saves are atomic
+(temp file + rename); and partial warm-starts copy the name-intersection of
+parameters, erroring on shape mismatches.
+
+Storage is a single ``.npz``: a ``__meta__`` JSON entry plus one array per
+leaf, keyed by its "/"-joined tree path within each variable collection
+(``params/...``, ``buffers/...``). This keeps checkpoints host-portable and
+framework-agnostic; large-model sharded checkpoints can layer Orbax on top
+without changing the manifest.
+"""
+
+import io
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "flatten_variables",
+    "unflatten_variables",
+    "copy_intersection",
+    "tree_size",
+]
+
+_META_KEY = "__meta__"
+_FORMAT_VERSION = 1
+
+
+def flatten_variables(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Nested variable collections -> {"collection/a/b": array} dict."""
+    flat = traverse_util.flatten_dict(variables, sep="/")
+    return {k: np.asarray(v) for k, v in flat.items()}
+
+
+def unflatten_variables(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    return traverse_util.unflatten_dict(dict(flat), sep="/")
+
+
+def save_checkpoint(
+    path: str,
+    class_name: str,
+    kwargs: Dict[str, Any],
+    variables: Dict[str, Any],
+    extra_meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Atomically write a self-describing checkpoint."""
+    meta = {
+        "format": _FORMAT_VERSION,
+        "class": class_name,
+        "kwargs": kwargs,
+    }
+    if extra_meta:
+        meta["extra"] = extra_meta
+    arrays = flatten_variables(variables)
+    buf = io.BytesIO()
+    np.savez(buf, **{_META_KEY: np.asarray(json.dumps(meta)), **arrays})
+    dirname = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(buf.getvalue())
+        os.rename(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(
+    path: str,
+) -> Tuple[str, Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
+    """Load a checkpoint -> (class_name, kwargs, variables, extra_meta)."""
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data[_META_KEY]))
+        flat = {k: data[k] for k in data.files if k != _META_KEY}
+    variables = unflatten_variables(flat)
+    return meta["class"], meta["kwargs"], variables, meta.get("extra", {})
+
+
+def copy_intersection(
+    dst: Dict[str, Any], src: Dict[str, Any], strict_shapes: bool = True
+) -> Tuple[Dict[str, Any], int]:
+    """Copy src leaves into dst wherever paths match (pretrained warm start).
+
+    Returns (new_dst, number_of_scalar_params_copied). Raises on shape
+    mismatch when strict_shapes (reference base.py:106-127 semantics).
+    """
+    dst_flat = traverse_util.flatten_dict(dst, sep="/")
+    src_flat = traverse_util.flatten_dict(src, sep="/")
+    total = 0
+    out = dict(dst_flat)
+    for name, value in dst_flat.items():
+        if name in src_flat:
+            s = src_flat[name]
+            if tuple(np.shape(s)) != tuple(np.shape(value)):
+                if strict_shapes:
+                    raise ValueError(
+                        f"parameter {name} has shape {np.shape(value)} in "
+                        f"destination but {np.shape(s)} in source"
+                    )
+                continue
+            out[name] = jnp.asarray(s, dtype=jnp.asarray(value).dtype)
+            total += int(np.prod(np.shape(s)))
+    return traverse_util.unflatten_dict(out, sep="/"), total
+
+
+def tree_size(tree: Any) -> int:
+    """Total number of scalars in a pytree."""
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(tree))

@@ -1,0 +1,149 @@
+"""Datasets: windowed LibriSpeech-style directories and the synthetic tone
+fixture.
+
+Capability parity with /root/reference/vq_voice_swap/dataset.py:12-164:
+  - create_data_loader(directory, batch_size, encoding): "tones" selects the
+    synthetic dataset; anything else is treated as a LibriSpeech-style
+    directory of <speaker>/.../*.flac (or *.wav) files.
+  - LibriSpeech: recursive file index with probed durations cached to
+    index.json; 4 s windows every 0.2 s with a 0.05 s duration-estimate
+    slack; labels are the sorted speaker-directory order; items zero-pad the
+    tail window.
+  - ToneDataset: 3 sinusoidal "speakers" x 10 phases of 4 s audio - the
+    universal no-disk test fixture.
+
+Loading is host-side numpy (decode is I/O-bound); batches are assembled by a
+background-threaded loader (loader.py) and fed to the jitted train step as
+one [N, T] array per batch.
+"""
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Union
+
+import numpy as np
+
+from .audio_io import ChunkReader, encode_from_linear, lookup_audio_duration
+
+__all__ = ["LibriSpeech", "ToneDataset", "build_file_index",
+           "DURATION_ESTIMATE_SLACK", "AUDIO_EXTENSIONS"]
+
+DURATION_ESTIMATE_SLACK = 0.05
+AUDIO_EXTENSIONS = (".flac", ".wav")
+
+
+@dataclass
+class WindowRef:
+    label: int
+    path: str
+    offset: int
+
+
+def build_file_index(data_dir: str) -> Dict[str, Union[Dict, float]]:
+    """Recursive {name: duration | subdir-index} map of audio files."""
+    result: Dict[str, Union[Dict, float]] = {}
+    for item in sorted(os.listdir(data_dir)):
+        path = os.path.join(data_dir, item)
+        if item.startswith("."):
+            continue
+        if item.lower().endswith(AUDIO_EXTENSIONS):
+            result[item] = lookup_audio_duration(path)
+        elif os.path.isdir(path):
+            sub = build_file_index(path)
+            if sub:
+                result[item] = sub
+    return result
+
+
+class LibriSpeech:
+    """Windowed view over a LibriSpeech-style speaker directory tree."""
+
+    def __init__(
+        self,
+        directory: str,
+        encoding: str = "linear",
+        window_duration: float = 4.0,
+        window_spacing: float = 0.2,
+        sample_rate: int = 16000,
+    ):
+        self.directory = directory
+        self.encoding = encoding
+        self.window_duration = window_duration
+        self.window_spacing = window_spacing
+        self.sample_rate = sample_rate
+
+        index_path = os.path.join(directory, "index.json")
+        if os.path.exists(index_path):
+            with open(index_path, "rt") as f:
+                self.index = json.load(f)
+        else:
+            self.index = build_file_index(directory)
+            with open(index_path, "wt") as f:
+                json.dump(self.index, f)
+
+        self.speaker_ids = sorted(self.index.keys())
+        self.windows: List[WindowRef] = []
+        for label, speaker in enumerate(self.speaker_ids):
+            self._index_speaker(
+                label, os.path.join(directory, speaker), self.index[speaker]
+            )
+
+    def _index_speaker(self, label: int, path: str, entry) -> None:
+        for name, item in entry.items():
+            sub_path = os.path.join(path, name)
+            if isinstance(item, dict):
+                self._index_speaker(label, sub_path, item)
+                continue
+            window = int(self.sample_rate * self.window_duration)
+            spacing = int(self.sample_rate * self.window_spacing)
+            total = int(self.sample_rate * (item - DURATION_ESTIMATE_SLACK))
+            if window >= total:
+                self.windows.append(WindowRef(label, sub_path, 0))
+            else:
+                offset = 0
+                while offset + window < total:
+                    self.windows.append(WindowRef(label, sub_path, offset))
+                    offset += spacing
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    def __getitem__(self, index: int) -> Dict[str, Union[int, np.ndarray]]:
+        ref = self.windows[index]
+        num_samples = int(self.sample_rate * self.window_duration)
+        with ChunkReader(
+            ref.path, self.sample_rate, encoding=self.encoding
+        ) as reader:
+            if ref.offset:
+                reader.read(ref.offset)  # seek by discarding
+            samples = reader.read(num_samples)
+        if samples is None:
+            samples = np.zeros(0, dtype=np.float32)
+        if len(samples) < num_samples:
+            samples = np.pad(samples, (0, num_samples - len(samples)))
+        return {"label": ref.label, "samples": samples.astype(np.float32)}
+
+
+class ToneDataset:
+    """Synthetic dataset: each "speaker" is a sine frequency, each item a
+    phase shift — deterministic, diskless, the universal test fixture."""
+
+    def __init__(self, encoding: str = "linear", sample_rate: int = 16000,
+                 num_samples: int = 64000):
+        self.encoding = encoding
+        self.sample_rate = sample_rate
+        self.num_samples = num_samples
+        self.speaker_ids = [300, 500, 1000]
+
+    def __len__(self) -> int:
+        return len(self.speaker_ids) * 10
+
+    def __getitem__(self, index: int) -> Dict[str, Union[int, np.ndarray]]:
+        speaker = index % len(self.speaker_ids)
+        freq = self.speaker_ids[speaker]
+        phase = (index // len(self.speaker_ids)) / 10
+        t = np.arange(self.num_samples, dtype=np.float32) / self.sample_rate
+        samples = np.sin((t + phase) * (2 * np.pi * freq)).astype(np.float32)
+        samples = encode_from_linear(samples, self.encoding)
+        return {"label": speaker, "samples": samples}

@@ -1,0 +1,123 @@
+"""Batched data loading with background prefetch.
+
+Replaces the reference's torch DataLoader(num_workers=4)
+(/root/reference/vq_voice_swap/dataset.py:12-44) with a thread-pool prefetch
+pipeline: decode is I/O / subprocess bound so threads (not processes) keep
+the accelerator fed without pickling overhead; batches are plain numpy dicts
+{"label": [N], "samples": [N, T]} ready for device upload.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .datasets import LibriSpeech, ToneDataset
+
+__all__ = ["create_data_loader", "DataLoader"]
+
+
+class DataLoader:
+    """Shuffled, drop-last batch iterator with prefetching."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState((self._seed + self._epoch) % 2**31)
+            rng.shuffle(order)
+        self._epoch += 1
+        end = (
+            len(order) - len(order) % self.batch_size
+            if self.drop_last
+            else len(order)
+        )
+        for i in range(0, end, self.batch_size):
+            yield order[i : i + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def collate(idxs):
+            items = [self.dataset[int(i)] for i in idxs]
+            return {
+                "label": np.asarray([it["label"] for it in items], np.int32),
+                "samples": np.stack([it["samples"] for it in items]).astype(
+                    np.float32
+                ),
+            }
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    futures = [
+                        pool.submit(collate, idxs)
+                        for idxs in self._batch_indices()
+                    ]
+                    for fut in futures:
+                        out_q.put(fut.result())
+            except BaseException as exc:  # propagate into the consumer
+                out_q.put(exc)
+            finally:
+                out_q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()
+
+
+def create_data_loader(
+    directory: str,
+    batch_size: int,
+    encoding: str = "linear",
+    num_workers: int = 4,
+    **dataset_kwargs,
+) -> Tuple[DataLoader, int]:
+    """Build (loader, num_labels). ``directory == "tones"`` selects the
+    synthetic fixture (reference dataset.py:31-32)."""
+    if directory == "tones":
+        dataset = ToneDataset(encoding=encoding)
+    else:
+        dataset = LibriSpeech(directory, encoding=encoding, **dataset_kwargs)
+    loader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=True,
+        drop_last=True,
+        num_workers=num_workers,
+    )
+    return loader, len(dataset.speaker_ids)

@@ -1,0 +1,98 @@
+"""High-level model wrappers: self-describing save/load and checkpoint-time
+parameter surgery.
+
+In JAX, parameters live outside modules, so the reference's Savable nn.Module
+(/root/reference/vq_voice_swap/models/base.py:63-134) becomes a thin config
+object: it owns the linen module(s) and the constructor kwargs, while the
+variables pytree is passed explicitly. ``save(path, variables)`` embeds the
+class name + kwargs (self-describing checkpoints); ``ModelBase.load(path)``
+rebuilds the wrapper from any registered class; ``load_from_pretrained``
+copies the path-intersection of parameters and returns the scalar count.
+"""
+
+from typing import Any, Dict, Optional, Tuple, Type
+
+import jax
+
+from .checkpoint import (
+    copy_intersection,
+    load_checkpoint,
+    save_checkpoint,
+    tree_size,
+)
+
+__all__ = ["ModelBase", "register_model", "build_model", "load_model",
+           "jit_init"]
+
+
+def jit_init(module, rng, *args, **kwargs):
+    """Initialise a linen module under jit.
+
+    Eager init dispatches one tiny XLA compile per primitive; under jit the
+    whole init graph compiles once, which is dramatically faster on hosts
+    with high per-compile overhead.
+    """
+    return jax.jit(lambda r: module.init(r, *args, **kwargs))(rng)
+
+_REGISTRY: Dict[str, Type["ModelBase"]] = {}
+
+
+def register_model(cls: Type["ModelBase"]) -> Type["ModelBase"]:
+    _REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def build_model(class_name: str, kwargs: Dict[str, Any]) -> "ModelBase":
+    if class_name not in _REGISTRY:
+        raise ValueError(
+            f"unknown model class {class_name!r} (known: {sorted(_REGISTRY)})"
+        )
+    return _REGISTRY[class_name](**kwargs)
+
+
+def load_model(path: str) -> Tuple["ModelBase", Dict[str, Any]]:
+    """Load any registered model: (wrapper, variables)."""
+    class_name, kwargs, variables, _ = load_checkpoint(path)
+    return build_model(class_name, kwargs), variables
+
+
+class ModelBase:
+    """Base for high-level model wrappers (config + linen modules)."""
+
+    def save_kwargs(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def init_variables(self, rng: jax.Array) -> Dict[str, Any]:
+        """Initialise a fresh variables tree with canonical dummy shapes."""
+        raise NotImplementedError
+
+    def save(self, path: str, variables: Dict[str, Any]) -> None:
+        save_checkpoint(
+            path, type(self).__name__, self.save_kwargs(), variables
+        )
+
+    @classmethod
+    def load(cls, path: str) -> Tuple["ModelBase", Dict[str, Any]]:
+        """Load from a checkpoint; the class is taken from the manifest but
+        must be cls or a subclass when called on a concrete class."""
+        class_name, kwargs, variables, _ = load_checkpoint(path)
+        model_cls = _REGISTRY.get(class_name)
+        if model_cls is None:
+            raise ValueError(f"unknown model class in checkpoint: {class_name}")
+        if cls is not ModelBase and not issubclass(model_cls, cls):
+            raise ValueError(
+                f"checkpoint contains {class_name}, expected {cls.__name__}"
+            )
+        return model_cls(**kwargs), variables
+
+    def load_from_pretrained(
+        self,
+        variables: Dict[str, Any],
+        src_variables: Dict[str, Any],
+    ) -> Tuple[Dict[str, Any], int]:
+        """Copy the path-intersection of src into our variables tree."""
+        return copy_intersection(variables, src_variables)
+
+    @staticmethod
+    def count_params(variables: Dict[str, Any]) -> int:
+        return tree_size(variables.get("params", variables))

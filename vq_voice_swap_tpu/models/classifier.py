@@ -49,7 +49,7 @@ class AttentionPool1d(nn.Module):
             "nhqc,nhkc->nhqk", q * scale, k * scale,
             preferred_element_type=jnp.float32,
         )
-        weights = jax._softmax(logits) if False else nn.softmax(logits, axis=-1)
+        weights = nn.softmax(logits, axis=-1)
         out = jnp.einsum("nhqk,nhkc->nhqc", weights.astype(v.dtype), v)
         out = jnp.reshape(jnp.transpose(out, (0, 2, 1, 3)), (n, t + 1, c))
         out = Conv1d(self.out_channels or c, 1, dtype=self.dtype, name="c_proj")(out)

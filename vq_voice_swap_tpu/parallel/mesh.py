@@ -1,0 +1,58 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-device (no torch.distributed anywhere; SURVEY.md §2).
+The TPU-native scaling story is batch-axis data parallelism over an ICI mesh:
+parameters and optimizer state are replicated, batches are sharded on the
+leading axis, and gradient psums are inserted by the partitioner — no
+hand-written collectives. Multi-host runs extend the same mesh over DCN via
+jax.distributed.initialize; per-host data loading feeds
+jax.make_array_from_process_local_data.
+"""
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "DATA_AXIS",
+    "create_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+]
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: Optional[int] = None,
+                devices: Optional[list] = None) -> Mesh:
+    """A 1-D data-parallel mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-put a host batch with its leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,755 @@
+"""Template-method training loops.
+
+Capability parity with /root/reference/vq_voice_swap/train_loop.py:28-648:
+an abstract TrainLoop wiring data/model/EMA/optimizer/logger with checkpoint
+discovery + resume, parameter freezing, microbatch accumulation, multi-EMA
+from a comma list, run-info JSON, and six concrete loops:
+
+  DiffusionTrainLoop        unconditional / class-conditional diffusion
+  VQVAETrainLoop            the flagship VQ-VAE + diffusion trainer
+  VQVAEAddClassesTrainLoop  grow the label space of a trained VQVAE
+  VQVAEUncondTrainLoop      CFG fine-tuning with label/cond dropout
+  ClassifierTrainLoop       noised-audio classifier with t-curriculum
+  EncoderPredictorTrainLoop VQ-code predictor for guidance
+
+TPU-first: each loop builds ONE jitted train step (microbatch scan + optimizer
++ EMA + VQ bookkeeping fused into a single XLA program, see steps.py); batches
+are sharded over a data-parallel mesh; per-step host work is limited to
+logging scalars.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from abc import ABC, abstractmethod
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization, traverse_util
+
+from ..classifier_model import ClassifierModel, EncoderPredictorModel
+from ..data import create_data_loader
+from ..diffusion import Diffusion, make_schedule
+from ..diffusion_model import DiffusionModel
+from ..model_base import ModelBase
+from ..observe import Logger, LossTracker
+from ..parallel import create_mesh, replicate, shard_batch
+from ..util import repeat_dataset
+from ..vq import VQLossConfig
+from ..vq_vae import VQVAE
+from .ema import build_rate_tree
+from .state import TrainState, build_optimizer, prefix_predicate
+from .steps import VQUpdateRule, make_train_step
+
+__all__ = [
+    "TrainLoop",
+    "DiffusionTrainLoop",
+    "VQVAETrainLoop",
+    "VQVAEAddClassesTrainLoop",
+    "VQVAEUncondTrainLoop",
+    "ClassifierTrainLoop",
+    "EncoderPredictorTrainLoop",
+]
+
+
+class TrainLoop(ABC):
+    """Abstract training loop; subclasses override model construction and the
+    per-batch loss function."""
+
+    def __init__(self, args=None):
+        if args is None:
+            args = self.arg_parser().parse_args()
+        self.args = args
+
+        os.makedirs(args.output_dir, exist_ok=True)
+
+        self.mesh = create_mesh()
+        self.rng_seed = getattr(args, "seed", 0)
+
+        self.data_loader, self.num_labels = self.create_data_loader()
+        self.model, self.variables, self.resume = self.create_model()
+
+        params = self.variables["params"]
+        buffers = self.variables.get("buffers", {})
+
+        self.ema_rates = [float(r) for r in args.ema_rate.split(",")]
+        assert len(set(self.ema_rates)) == len(self.ema_rates), (
+            "duplicate EMA rates"
+        )
+        emas = self.create_emas(params)
+
+        self.tx = build_optimizer(
+            params,
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            frozen_fn=self.frozen_predicate(),
+        )
+        opt_state = self.create_opt_state(params)
+
+        self.state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            buffers=buffers,
+            opt_state=opt_state,
+            emas=emas,
+        )
+        self.state = replicate(self.mesh, self.state)
+
+        self.logger, self.tracker = self.create_logger_tracker()
+        self.total_steps = self.logger.start_step
+        self.loop_steps = 0
+
+        rate_trees = {
+            str(r): build_rate_tree(params, {"": r}) for r in self.ema_rates
+        }
+        microbatches = 1
+        if args.microbatch and args.microbatch < args.batch_size:
+            assert args.batch_size % args.microbatch == 0, (
+                "batch size must be divisible by microbatch size"
+            )
+            microbatches = args.batch_size // args.microbatch
+        self.train_step = make_train_step(
+            self.build_loss_fn(),
+            self.tx,
+            ema_rate_trees=rate_trees,
+            microbatches=microbatches,
+            vq_rule=self.vq_update_rule(),
+        )
+        self.frozen_ctx = self.build_frozen_ctx()
+
+        self.write_run_info()
+
+    # ----------------------------------------------------------- main loop
+
+    def loop(self, max_steps: Optional[int] = None):
+        for i, batch in enumerate(repeat_dataset(self.data_loader)):
+            if max_steps is not None and i >= max_steps:
+                break
+            self.total_steps = i + self.logger.start_step
+            self.loop_steps = i
+            self.step(batch)
+
+    def step(self, batch: Dict[str, np.ndarray]):
+        rng = jax.random.fold_in(
+            jax.random.key(self.rng_seed), self.total_steps
+        )
+        device_batch = shard_batch(self.mesh, self.prepare_batch(batch))
+        self.state, metrics = self.train_step(
+            self.state, device_batch, rng, self.frozen_ctx
+        )
+        self.log_metrics(metrics)
+        if (self.total_steps + 1) % self.args.save_interval == 0:
+            self.save()
+
+    def prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Hook to augment the host batch (e.g. curriculum scalars)."""
+        return batch
+
+    def log_metrics(self, metrics: Dict[str, Any]):
+        # One D2H transfer for the scalar metrics per step.
+        loss = float(metrics["loss"])
+        self.tracker.add(metrics["ts"], metrics["mses"])
+        other = {k: float(v) for k, v in metrics.get("extra", {}).items()}
+        if "codebook_used" in metrics:
+            other["codebook_used"] = float(metrics["codebook_used"])
+        other.update(self.tracker.log_dict())
+        self.logger.log(self.loop_steps + 1, loss=loss, **other)
+
+    # ------------------------------------------------------------- plumbing
+
+    def create_data_loader(self):
+        return create_data_loader(
+            directory=self.args.data_dir,
+            batch_size=self.args.batch_size,
+            encoding=self.args.encoding,
+        )
+
+    def create_model(self) -> Tuple[ModelBase, Dict[str, Any], bool]:
+        if os.path.exists(self.checkpoint_path()):
+            print("loading from checkpoint...")
+            model, variables = self.model_class().load(self.checkpoint_path())
+            resume = True
+        else:
+            print("creating new model")
+            model, variables = self.create_new_model()
+            resume = False
+            if self.args.pretrained_path:
+                print(f"loading pretrained: {self.args.pretrained_path} ...")
+                variables, n = self.load_from_pretrained(model, variables)
+                print(f"loaded {n} pre-trained parameters")
+        print(f"total parameters: {ModelBase.count_params(variables)}")
+        return model, variables, resume
+
+    def load_from_pretrained(self, model, variables):
+        _, src_vars = ModelBase.load(self.args.pretrained_path)
+        return model.load_from_pretrained(variables, src_vars)
+
+    def create_emas(self, params) -> Dict[str, Any]:
+        emas = {}
+        for rate in self.ema_rates:
+            path = self.ema_path(rate)
+            if os.path.exists(path):
+                print(f"loading EMA {rate} from checkpoint...")
+                _, ema_vars = ModelBase.load(path)
+                emas[str(rate)] = ema_vars["params"]
+            else:
+                emas[str(rate)] = jax.tree.map(jnp.copy, params)
+        return emas
+
+    def create_opt_state(self, params):
+        opt_state = self.tx.init(params)
+        path = self.opt_path()
+        if os.path.exists(path):
+            print("loading optimizer state from checkpoint...")
+            with np.load(path, allow_pickle=False) as data:
+                flat = {k: data[k] for k in data.files}
+            restored = traverse_util.unflatten_dict(flat, sep="/")
+            opt_state = serialization.from_state_dict(opt_state, restored)
+        return opt_state
+
+    def create_logger_tracker(self) -> Tuple[Logger, LossTracker]:
+        return Logger(self.log_path(), resume=self.resume), LossTracker()
+
+    def frozen_predicate(self) -> Optional[Callable[[str], bool]]:
+        return None
+
+    def vq_update_rule(self) -> Optional[VQUpdateRule]:
+        return None
+
+    def build_frozen_ctx(self) -> Any:
+        return None
+
+    # -------------------------------------------------------------- saving
+
+    def save(self):
+        variables = {"params": self.state.params}
+        if jax.tree.leaves(self.state.buffers):
+            variables["buffers"] = self.state.buffers
+        self.model.save(self.checkpoint_path(), variables)
+        for rate in self.ema_rates:
+            ema_vars = {"params": self.state.emas[str(rate)]}
+            if "buffers" in variables:
+                ema_vars["buffers"] = self.state.buffers
+            self.model.save(self.ema_path(rate), ema_vars)
+        self.save_opt_state()
+        self.logger.mark_save()
+
+    def save_opt_state(self):
+        state_dict = serialization.to_state_dict(self.state.opt_state)
+        flat = traverse_util.flatten_dict(state_dict, sep="/")
+        arrays = {k: np.asarray(v) for k, v in flat.items()}
+        tmp = self.opt_path() + ".tmp"
+        np.savez(tmp, **arrays)
+        # np.savez appends .npz to names without extension.
+        src = tmp if os.path.exists(tmp) else tmp + ".npz"
+        os.replace(src, self.opt_path())
+
+    def checkpoint_path(self):
+        return os.path.join(self.args.output_dir, "model.npz")
+
+    def ema_path(self, rate):
+        return os.path.join(self.args.output_dir, f"model_ema_{rate}.npz")
+
+    def opt_path(self):
+        return os.path.join(self.args.output_dir, "opt.npz")
+
+    def log_path(self):
+        return os.path.join(self.args.output_dir, "train_log.txt")
+
+    def write_run_info(self):
+        filename = f"run_info_{int(time.time())}.json"
+        info = dict(
+            args=vars(self.args),
+            command=sys.argv[0],
+            start_steps=self.total_steps,
+            num_devices=len(self.mesh.devices.flatten()),
+        )
+        with open(os.path.join(self.args.output_dir, filename), "w") as f:
+            json.dump(info, f, indent=4)
+
+    # ------------------------------------------------------------ abstract
+
+    @abstractmethod
+    def model_class(self):
+        """The ModelBase subclass this loop trains."""
+
+    @abstractmethod
+    def create_new_model(self) -> Tuple[ModelBase, Dict[str, Any]]:
+        """Build a fresh model wrapper + initialised variables."""
+
+    @abstractmethod
+    def build_loss_fn(self):
+        """Return loss_fn(params, buffers, rng, batch, ctx) -> (loss, aux)."""
+
+    @classmethod
+    @abstractmethod
+    def default_output_dir(cls) -> str:
+        ...
+
+    @classmethod
+    def arg_parser(cls) -> argparse.ArgumentParser:
+        parser = argparse.ArgumentParser(
+            formatter_class=argparse.ArgumentDefaultsHelpFormatter
+        )
+        parser.add_argument("--lr", default=1e-4, type=float)
+        parser.add_argument("--ema-rate", default="0.9999", type=str)
+        parser.add_argument("--weight-decay", default=0.0, type=float)
+        parser.add_argument("--batch-size", default=8, type=int)
+        parser.add_argument("--microbatch", default=None, type=int)
+        parser.add_argument("--output-dir", default=cls.default_output_dir(),
+                            type=str)
+        parser.add_argument("--pretrained-path", default=None, type=str)
+        parser.add_argument("--save-interval", default=1000, type=int)
+        parser.add_argument("--grad-checkpoint", action="store_true")
+        parser.add_argument("--encoding", default="linear", type=str)
+        parser.add_argument("--seed", default=0, type=int)
+        parser.add_argument("--bf16", action="store_true",
+                            help="compute in bfloat16 (params stay float32)")
+        parser.add_argument("data_dir", type=str)
+        return parser
+
+    # -------------------------------------------------------------- helpers
+
+    def model_dtype(self) -> Optional[str]:
+        return "bfloat16" if getattr(self.args, "bf16", False) else None
+
+
+class DiffusionTrainLoop(TrainLoop):
+    """Unconditional / class-conditional diffusion training
+    (reference train_loop.py:299-342)."""
+
+    def model_class(self):
+        return DiffusionModel
+
+    def create_new_model(self):
+        model = DiffusionModel(
+            pred_name=self.args.predictor,
+            base_channels=self.args.base_channels,
+            schedule_name=self.args.schedule,
+            dropout=self.args.dropout,
+            num_labels=self.num_labels if self.args.class_cond else None,
+            dtype=self.model_dtype(),
+            remat=self.args.grad_checkpoint,
+        )
+        variables = model.init_variables(jax.random.key(self.rng_seed))
+        return model, variables
+
+    def build_loss_fn(self):
+        model = self.model
+        class_cond = self.args.class_cond
+
+        def loss_fn(params, buffers, rng, batch, ctx):
+            del buffers, ctx
+            x = batch["samples"][..., None]
+            labels = batch["label"] if class_cond else None
+            losses, ts = model.losses(
+                {"params": params}, rng, x, labels=labels, train=True
+            )
+            return jnp.mean(losses), {"mses": losses, "ts": ts, "extra": {}}
+
+        return loss_fn
+
+    @classmethod
+    def arg_parser(cls):
+        parser = super().arg_parser()
+        parser.add_argument("--predictor", default="unet", type=str)
+        parser.add_argument("--base-channels", default=32, type=int)
+        parser.add_argument("--dropout", default=0.0, type=float)
+        parser.add_argument("--schedule", default="exp", type=str)
+        parser.add_argument("--class-cond", action="store_true")
+        return parser
+
+    @classmethod
+    def default_output_dir(cls):
+        return "ckpt_diffusion"
+
+
+class VQVAETrainLoop(DiffusionTrainLoop):
+    """The flagship speaker-conversion trainer
+    (reference train_loop.py:345-435)."""
+
+    def model_class(self):
+        return VQVAE
+
+    def create_new_model(self):
+        model = VQVAE(
+            pred_name=self.args.predictor,
+            base_channels=self.args.base_channels,
+            enc_name=self.args.encoder,
+            cond_mult=self.args.cond_mult,
+            dictionary_size=self.args.dictionary_size,
+            dead_rate=self.args.dead_rate,
+            schedule_name=self.args.schedule,
+            dropout=self.args.dropout,
+            num_labels=self.num_labels if self.args.class_cond else None,
+            dtype=self.model_dtype(),
+            remat=self.args.grad_checkpoint,
+        )
+        variables = model.init_variables(jax.random.key(self.rng_seed))
+        return model, variables
+
+    def create_model(self):
+        model, variables, resume = super().create_model()
+        # dead_rate is a runtime knob, not a weight (reference
+        # train_loop.py:375-378).
+        model.dead_rate = self.args.dead_rate
+        return model, variables, resume
+
+    def load_from_pretrained(self, model, variables):
+        # Accept either a VQVAE or a bare DiffusionModel checkpoint
+        # (reference train_loop.py:414-423): the predictor subtree intersects
+        # either way.
+        src_model, src_vars = ModelBase.load(self.args.pretrained_path)
+        if isinstance(src_model, VQVAE) or isinstance(src_model, DiffusionModel):
+            return model.load_from_pretrained(variables, src_vars)
+        raise ValueError(
+            f"unsupported pretrained model: {type(src_model).__name__}"
+        )
+
+    def vq_loss_config(self) -> VQLossConfig:
+        return VQLossConfig(
+            commitment=self.args.commitment_coeff,
+            revival=self.args.revival_coeff,
+        )
+
+    def build_loss_fn(self):
+        model = self.model
+        class_cond = self.args.class_cond
+        vq_cfg = self.vq_loss_config()
+        jitter = self.args.jitter
+
+        def loss_fn(params, buffers, rng, batch, ctx):
+            del ctx
+            x = batch["samples"][..., None]
+            labels = batch["label"] if class_cond else None
+            out = model.losses(
+                {"params": params, "buffers": buffers},
+                rng,
+                x,
+                labels=labels,
+                vq_loss_cfg=vq_cfg,
+                jitter=jitter,
+                train=True,
+            )
+            total = out["mse"] + out["vq_loss"]
+            return total, {
+                "mses": out["mses"],
+                "ts": out["ts"],
+                "extra": {"vq_loss": out["vq_loss"]},
+                "idxs": out["idxs"],
+                "enc_flat": out["enc_flat"],
+            }
+
+        return loss_fn
+
+    def frozen_predicate(self):
+        prefixes = []
+        if self.args.freeze_encoder:
+            prefixes.append("encoder")
+        if self.args.freeze_vq:
+            prefixes.append("vq")
+        return prefix_predicate(prefixes) if prefixes else None
+
+    def should_revive(self) -> bool:
+        return not self.args.revival_coeff and not self.args.freeze_vq
+
+    def vq_update_rule(self):
+        return VQUpdateRule(
+            dead_rate=self.args.dead_rate, revive=self.should_revive()
+        )
+
+    @classmethod
+    def arg_parser(cls):
+        parser = super().arg_parser()
+        parser.add_argument("--encoder", default="unet", type=str)
+        parser.add_argument("--cond-mult", default=16, type=int)
+        parser.add_argument("--dictionary-size", default=512, type=int)
+        parser.add_argument("--freeze-encoder", action="store_true")
+        parser.add_argument("--freeze-vq", action="store_true")
+        parser.add_argument("--commitment-coeff", default=0.25, type=float)
+        parser.add_argument("--revival-coeff", default=0.0, type=float)
+        parser.add_argument("--dead-rate", default=100, type=int)
+        parser.add_argument("--jitter", default=0.0, type=float)
+        return parser
+
+    @classmethod
+    def default_output_dir(cls):
+        return "ckpt_vqvae"
+
+
+class VQVAEAddClassesTrainLoop(VQVAETrainLoop):
+    """Fine-tune only fresh label embeddings on new speakers
+    (reference train_loop.py:438-485)."""
+
+    def __init__(self, args=None):
+        self.pretrained_kwargs = None
+        self.pretrained_num_labels = None
+        super().__init__(args)
+        assert self.args.class_cond, "must train a class-conditional model"
+
+    def create_model(self):
+        assert self.args.pretrained_path, "must load from a pre-trained VQVAE"
+        assert self.args.class_cond, "must create a class-conditional model"
+        pretrained, _ = VQVAE.load(self.args.pretrained_path)
+        self.pretrained_num_labels = pretrained.num_labels
+        self.pretrained_kwargs = pretrained.save_kwargs()
+        return super().create_model()
+
+    def create_new_model(self):
+        kwargs = dict(self.pretrained_kwargs)
+        kwargs["num_labels"] = self.num_labels + self.pretrained_num_labels
+        model = VQVAE(**kwargs)
+        variables = model.init_variables(jax.random.key(self.rng_seed))
+        return model, variables
+
+    def load_from_pretrained(self, model, variables):
+        base_model, base_vars = VQVAE.load(self.args.pretrained_path)
+        base_model, base_vars = base_model.add_labels(
+            base_vars, self.num_labels
+        )
+        return model.load_from_pretrained(variables, base_vars)
+
+    def prepare_batch(self, batch):
+        batch = dict(batch)
+        batch["label"] = batch["label"] + self.pretrained_num_labels
+        return batch
+
+    def frozen_predicate(self):
+        # Freeze everything except the label embeddings.
+        label_paths = set(self.model.label_parameter_paths(self.variables))
+
+        def pred(path: str) -> bool:
+            return path not in label_paths
+
+        return pred
+
+    def should_revive(self):
+        # Preserve the codebook for the original classes
+        # (reference train_loop.py:477-481).
+        return False
+
+    @classmethod
+    def default_output_dir(cls):
+        return "ckpt_vqvae_added"
+
+
+class VQVAEUncondTrainLoop(VQVAETrainLoop):
+    """Fine-tune for classifier-free guidance: label dropout to class 0 and
+    per-sequence cond dropout (reference train_loop.py:488-543)."""
+
+    def __init__(self, args=None):
+        self.pretrained_kwargs = None
+        self.pretrained_num_labels = None
+        super().__init__(args)
+        assert self.args.class_cond
+
+    def create_model(self):
+        assert self.args.pretrained_path, "must load from a pre-trained VQVAE"
+        assert self.args.class_cond, "must create a class-conditional model"
+        pretrained, _ = VQVAE.load(self.args.pretrained_path)
+        self.pretrained_num_labels = pretrained.num_labels
+        self.pretrained_kwargs = pretrained.save_kwargs()
+        return super().create_model()
+
+    def create_new_model(self):
+        kwargs = dict(self.pretrained_kwargs)
+        kwargs["num_labels"] = self.pretrained_num_labels + 1
+        model = VQVAE(**kwargs)
+        variables = model.init_variables(jax.random.key(self.rng_seed))
+        return model, variables
+
+    def load_from_pretrained(self, model, variables):
+        base_model, base_vars = VQVAE.load(self.args.pretrained_path)
+        # New unconditional label goes at the *beginning*
+        # (reference train_loop.py:529-532).
+        base_model, base_vars = base_model.add_labels(base_vars, 1, end=False)
+        return model.load_from_pretrained(variables, base_vars)
+
+    def build_loss_fn(self):
+        model = self.model
+        vq_cfg = self.vq_loss_config()
+        jitter = self.args.jitter
+        no_class_prob = self.args.no_class_prob
+        no_vq_prob = self.args.no_vq_prob
+
+        def loss_fn(params, buffers, rng, batch, ctx):
+            del ctx
+            rng, mask_rng = jax.random.split(rng)
+            x = batch["samples"][..., None]
+            keep = (
+                jax.random.uniform(mask_rng, batch["label"].shape)
+                > no_class_prob
+            )
+            labels = (batch["label"] + 1) * keep.astype(batch["label"].dtype)
+            out = model.losses(
+                {"params": params, "buffers": buffers},
+                rng,
+                x,
+                labels=labels,
+                vq_loss_cfg=vq_cfg,
+                jitter=jitter,
+                no_vq_prob=no_vq_prob,
+                train=True,
+            )
+            total = out["mse"] + out["vq_loss"]
+            return total, {
+                "mses": out["mses"],
+                "ts": out["ts"],
+                "extra": {"vq_loss": out["vq_loss"]},
+                "idxs": out["idxs"],
+                "enc_flat": out["enc_flat"],
+            }
+
+        return loss_fn
+
+    @classmethod
+    def arg_parser(cls):
+        parser = super().arg_parser()
+        parser.add_argument("--no-class-prob", default=0.1, type=float)
+        parser.add_argument("--no-vq-prob", default=0.1, type=float)
+        return parser
+
+    @classmethod
+    def default_output_dir(cls):
+        return "ckpt_vqvae_uncond"
+
+
+class _CurriculumMixin:
+    """Timestep curriculum ts**power annealed from curriculum_start to 1 over
+    curriculum_steps (reference train_loop.py:563-569)."""
+
+    def curriculum_power(self) -> float:
+        if self.total_steps < self.args.curriculum_steps:
+            frac = self.total_steps / self.args.curriculum_steps
+            return self.args.curriculum_start * (1 - frac) + frac
+        return 1.0
+
+    def prepare_batch(self, batch):
+        batch = dict(batch)
+        # Traced scalar: changing the power never recompiles the step.
+        batch["ts_power"] = np.asarray(self.curriculum_power(), np.float32)
+        return batch
+
+
+class ClassifierTrainLoop(_CurriculumMixin, TrainLoop):
+    """Train the noised-audio classifier (reference train_loop.py:546-594)."""
+
+    def __init__(self, args=None):
+        super().__init__(args)
+        self.diffusion = Diffusion(make_schedule(self.args.schedule))
+
+    def model_class(self):
+        return ClassifierModel
+
+    def create_new_model(self):
+        model = ClassifierModel(
+            num_labels=self.num_labels,
+            base_channels=self.args.base_channels,
+            dtype=self.model_dtype(),
+        )
+        variables = model.init_variables(jax.random.key(self.rng_seed))
+        return model, variables
+
+    def load_from_pretrained(self, model, variables):
+        src_model, src_vars = ModelBase.load(self.args.pretrained_path)
+        assert isinstance(src_model, DiffusionModel)
+        return model.load_from_predictor(
+            variables, src_vars["params"]["predictor"]
+        )
+
+    def build_loss_fn(self):
+        model = self.model
+        diffusion = Diffusion(make_schedule(self.args.schedule))
+
+        def loss_fn(params, buffers, rng, batch, ctx):
+            del buffers, ctx
+            t_rng, n_rng = jax.random.split(rng)
+            x = batch["samples"][..., None]
+            labels = batch["label"]
+            ts = jax.random.uniform(t_rng, (x.shape[0],)) ** batch["ts_power"]
+            noise = jax.random.normal(n_rng, x.shape, dtype=x.dtype)
+            samples = diffusion.sample_q(x, ts, epsilon=noise)
+            logits = model.logits({"params": params}, samples, ts)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nlls = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            return jnp.mean(nlls), {"mses": nlls, "ts": ts, "extra": {}}
+
+        return loss_fn
+
+    @classmethod
+    def arg_parser(cls):
+        parser = super().arg_parser()
+        parser.add_argument("--base-channels", default=32, type=int)
+        parser.add_argument("--schedule", default="exp", type=str)
+        parser.add_argument("--curriculum-start", default=30.0, type=float)
+        parser.add_argument("--curriculum-steps", default=0, type=int)
+        return parser
+
+    @classmethod
+    def default_output_dir(cls):
+        return "ckpt_classifier"
+
+
+class EncoderPredictorTrainLoop(_CurriculumMixin, TrainLoop):
+    """Train the VQ-code predictor against a frozen VQ-VAE
+    (reference train_loop.py:597-648)."""
+
+    def __init__(self, args=None):
+        self.vq_vae = None
+        self.vq_vae_vars = None
+        super().__init__(args)
+
+    def model_class(self):
+        return EncoderPredictorModel
+
+    def create_model(self):
+        self.vq_vae, self.vq_vae_vars = VQVAE.load(self.args.vq_vae_path)
+        return super().create_model()
+
+    def create_new_model(self):
+        model = EncoderPredictorModel(
+            base_channels=self.args.base_channels,
+            downsample_rate=self.vq_vae.encoder.downsample_rate,
+            num_latents=self.vq_vae.dictionary_size,
+            dtype=self.model_dtype(),
+        )
+        variables = model.init_variables(jax.random.key(self.rng_seed))
+        return model, variables
+
+    def build_frozen_ctx(self):
+        # The frozen VQ-VAE rides along as a traced pytree argument.
+        return replicate(self.mesh, self.vq_vae_vars)
+
+    def build_loss_fn(self):
+        model = self.model
+        vq_vae = self.vq_vae
+
+        def loss_fn(params, buffers, rng, batch, ctx):
+            del buffers
+            t_rng, n_rng = jax.random.split(rng)
+            x = batch["samples"][..., None]
+            ts = jax.random.uniform(t_rng, (x.shape[0],)) ** batch["ts_power"]
+            targets = jax.lax.stop_gradient(vq_vae.encode(ctx, x))
+            noise = jax.random.normal(n_rng, x.shape, dtype=x.dtype)
+            samples = vq_vae.diffusion.sample_q(x, ts, epsilon=noise)
+            losses = model.losses({"params": params}, samples, ts, targets)
+            return jnp.mean(losses), {"mses": losses, "ts": ts, "extra": {}}
+
+        return loss_fn
+
+    @classmethod
+    def arg_parser(cls):
+        parser = super().arg_parser()
+        parser.add_argument("--vq-vae-path", type=str, required=True)
+        parser.add_argument("--base-channels", type=int, default=32)
+        parser.add_argument("--curriculum-start", default=30.0, type=float)
+        parser.add_argument("--curriculum-steps", default=0, type=int)
+        return parser
+
+    @classmethod
+    def default_output_dir(cls):
+        return "ckpt_enc_pred"

@@ -1,0 +1,150 @@
+"""The jitted train step: microbatch gradient accumulation, optimizer
+update, EMA updates, and the on-device VQ usage/revival pipeline.
+
+Replaces the reference's Python-side step loop
+(/root/reference/vq_voice_swap/train_loop.py:63-120): microbatch splitting +
+per-microbatch backward becomes a ``lax.scan`` gradient accumulation inside
+one compiled function, and the VQ codebook bookkeeping that the reference
+does via host numpy round-trips (vq.py:145-196) runs as array ops in the same
+program. One step = one XLA computation = zero host syncs besides metrics.
+"""
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..train.ema import ema_update
+from ..vq import revive_dead_codes, update_usage
+from .state import TrainState
+
+__all__ = ["VQUpdateRule", "make_train_step", "LossFn"]
+
+# loss_fn(params, buffers, rng, batch, ctx) ->
+#   (scalar_total_loss, aux) where aux contains at least
+#   {"mses": [n], "ts": [n], "extra": {name: scalar}} and, for VQ models,
+#   {"idxs": [n, T1], "enc_flat": [n*T1, C]}. ``ctx`` carries frozen
+#   auxiliary parameters (e.g. the frozen VQ-VAE for encoder-predictor
+#   training) as a traced argument so they are not baked into the
+#   executable as constants.
+LossFn = Callable[[Any, Any, jax.Array, Dict[str, jnp.ndarray], Any],
+                  Tuple[jnp.ndarray, Dict[str, Any]]]
+
+
+@dataclass(frozen=True)
+class VQUpdateRule:
+    """How the train step maintains the VQ codebook usage statistics."""
+
+    dead_rate: int
+    revive: bool  # hard k-means++ revival each step (reference
+    # train_loop.py:425-431: only when no revival loss and VQ not frozen)
+
+
+def make_train_step(
+    loss_fn: LossFn,
+    tx: optax.GradientTransformation,
+    ema_rate_trees: Dict[str, Any],
+    microbatches: int = 1,
+    vq_rule: Optional[VQUpdateRule] = None,
+    donate: bool = True,
+):
+    """Build a jitted (state, batch, rng) -> (state, metrics) train step."""
+
+    def split_micro(batch):
+        def reshape(x):
+            n = x.shape[0]
+            assert n % microbatches == 0, (
+                f"batch size {n} not divisible by {microbatches} microbatches"
+            )
+            return jnp.reshape(
+                x, (microbatches, n // microbatches) + x.shape[1:]
+            )
+
+        return jax.tree.map(reshape, batch)
+
+    def train_step(state: TrainState, batch, rng: jax.Array, ctx=None):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if microbatches == 1:
+            (loss, aux), grads = grad_fn(
+                state.params, state.buffers, rng, batch, ctx
+            )
+        else:
+            micro = split_micro(batch)
+            keys = jax.random.split(rng, microbatches)
+
+            def body(carry, inputs):
+                grads_acc, loss_acc = carry
+                key, mb = inputs
+                (mb_loss, mb_aux), mb_grads = grad_fn(
+                    state.params, state.buffers, key, mb, ctx
+                )
+                grads_acc = jax.tree.map(
+                    lambda a, g: a + g / microbatches, grads_acc, mb_grads
+                )
+                return (grads_acc, loss_acc + mb_loss / microbatches), mb_aux
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), aux_stack = jax.lax.scan(
+                body, (zero_grads, 0.0), (keys, micro)
+            )
+            # Re-flatten stacked per-microbatch aux back to full-batch shape.
+            aux = {}
+            for k, v in aux_stack.items():
+                if k == "extra":
+                    aux[k] = jax.tree.map(jnp.mean, v)
+                elif k == "enc_flat":
+                    aux[k] = jnp.reshape(v, (-1,) + v.shape[2:])
+                else:
+                    aux[k] = jnp.reshape(v, (-1,) + v.shape[2:])
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_buffers = state.buffers
+
+        # --- VQ codebook maintenance (all on device) ---------------------
+        if vq_rule is not None:
+            usage = new_buffers["vq"]["usage_count"]
+            usage = update_usage(usage, aux["idxs"], vq_rule.dead_rate)
+            dictionary = new_params["vq"]["dictionary"]
+            if vq_rule.revive:
+                revive_rng = jax.random.fold_in(rng, 0x5EED)
+                dictionary, usage = revive_dead_codes(
+                    revive_rng, dictionary, usage, aux["enc_flat"],
+                    vq_rule.dead_rate,
+                )
+                new_params = dict(new_params)
+                new_params["vq"] = dict(new_params["vq"])
+                new_params["vq"]["dictionary"] = dictionary
+            new_buffers = dict(new_buffers)
+            new_buffers["vq"] = dict(new_buffers["vq"])
+            new_buffers["vq"]["usage_count"] = usage
+
+        new_emas = {
+            rate: ema_update(state.emas[rate], new_params, rate_tree)
+            for rate, rate_tree in ema_rate_trees.items()
+        }
+
+        metrics = {
+            "loss": loss,
+            "mses": aux["mses"],
+            "ts": aux["ts"],
+            "extra": aux.get("extra", {}),
+        }
+        if vq_rule is not None:
+            metrics["codebook_used"] = jnp.sum(
+                (new_buffers["vq"]["usage_count"] > 0).astype(jnp.int32)
+            )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            buffers=new_buffers,
+            opt_state=new_opt_state,
+            emas=new_emas,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
