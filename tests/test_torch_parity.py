@@ -1,0 +1,218 @@
+"""Numerical parity against the reference PyTorch implementation.
+
+Builds small reference models (imported from /root/reference — execution
+only), converts their weights with convert/torch_import.py, and checks our
+flax models reproduce the same outputs. This validates both the architecture
+re-implementation and the checkpoint converter used for the released
+unet32/unet64/vqvae checkpoints.
+
+Skipped when /root/reference or torch is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+if not os.path.isdir(os.path.join(REFERENCE, "vq_voice_swap")):
+    pytest.skip("reference repo not available", allow_module_level=True)
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from util import jinit  # noqa: E402
+
+from vq_voice_swap_tpu.convert.torch_import import convert_state_dict  # noqa: E402
+
+ATOL = 2e-4
+RTOL = 2e-4
+
+
+def _to_numpy_sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def test_unet_predictor_parity():
+    from vq_voice_swap.models.unet import UNetPredictor as TorchUNet
+
+    torch.manual_seed(0)
+    tm = TorchUNet(
+        base_channels=4,
+        channel_mult=(1, 2),
+        middle_dilations=(2, 4),
+        depth_mult=1,
+        cond_channels=6,
+        num_labels=3,
+    )
+    tm.eval()
+
+    from vq_voice_swap_tpu.models import UNetPredictor
+
+    jm = UNetPredictor(
+        base_channels=4,
+        channel_mult=(1, 2),
+        middle_dilations=(2, 4),
+        depth_mult=1,
+        cond_channels=6,
+        num_labels=3,
+    )
+
+    sd = {f"predictor.{k}": v for k, v in _to_numpy_sd(tm).items()}
+    variables = convert_state_dict(
+        "DiffusionModel", {"pred_name": "unet"}, sd
+    )
+    params = {"params": variables["params"]["predictor"]}
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 1, 32).astype(np.float32)
+    ts = np.asarray([0.25, 0.75], np.float32)
+    cond = rng.randn(2, 6, 8).astype(np.float32)
+    labels = np.asarray([0, 2])
+
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            cond=torch.from_numpy(cond),
+            labels=torch.from_numpy(labels),
+        ).numpy()
+
+    got = np.asarray(
+        jax.jit(
+            lambda p: jm.apply(
+                p,
+                jnp.asarray(np.transpose(x, (0, 2, 1))),
+                jnp.asarray(ts),
+                cond=jnp.asarray(np.transpose(cond, (0, 2, 1))),
+                labels=jnp.asarray(labels),
+            )
+        )(params)
+    )
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 2, 1)), want, atol=ATOL, rtol=RTOL
+    )
+
+
+def test_unet_encoder_parity():
+    from vq_voice_swap.models.unet import UNetEncoder as TorchEnc
+
+    torch.manual_seed(1)
+    tm = TorchEnc(
+        base_channels=4, channel_mult=(1, 2), depth_mult=1,
+        out_channels=8, out_dilations=(2,),
+    )
+    tm.eval()
+
+    from vq_voice_swap_tpu.models import UNetEncoder
+
+    jm = UNetEncoder(
+        base_channels=4, channel_mult=(1, 2), depth_mult=1,
+        out_channels=8, out_dilations=(2,),
+    )
+
+    sd = {f"encoder.{k}": v for k, v in _to_numpy_sd(tm).items()}
+    variables = convert_state_dict(
+        "VQVAE", {"pred_name": "unet", "enc_name": "unet"}, sd
+    )
+    params = {"params": variables["params"]["encoder"]}
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 1, 32).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        jax.jit(
+            lambda p: jm.apply(p, jnp.asarray(np.transpose(x, (0, 2, 1))))
+        )(params)
+    )
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 2, 1)), want, atol=ATOL, rtol=RTOL
+    )
+
+
+def test_wavegrad_predictor_parity():
+    from vq_voice_swap.models.wavegrad import WaveGradPredictor as TorchWG
+
+    torch.manual_seed(2)
+    tm = TorchWG(base_channels=2, cond_mult=4, num_labels=3)
+    tm.eval()
+
+    from vq_voice_swap_tpu.models import WaveGradPredictor
+
+    jm = WaveGradPredictor(base_channels=2, cond_mult=4, num_labels=3)
+
+    sd = {f"predictor.{k}": v for k, v in _to_numpy_sd(tm).items()}
+    variables = convert_state_dict(
+        "DiffusionModel", {"pred_name": "wavegrad"}, sd
+    )
+    params = {"params": variables["params"]["predictor"]}
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 1, 128).astype(np.float32)
+    ts = np.asarray([0.1, 0.9], np.float32)
+    cond = rng.randn(2, 8, 2).astype(np.float32)
+    labels = np.asarray([1, 0])
+
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            cond=torch.from_numpy(cond),
+            labels=torch.from_numpy(labels),
+        ).numpy()
+
+    got = np.asarray(
+        jax.jit(
+            lambda p: jm.apply(
+                p,
+                jnp.asarray(np.transpose(x, (0, 2, 1))),
+                jnp.asarray(ts),
+                cond=jnp.asarray(np.transpose(cond, (0, 2, 1))),
+                labels=jnp.asarray(labels),
+            )
+        )(params)
+    )
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 2, 1)), want, atol=ATOL, rtol=RTOL
+    )
+
+
+def test_classifier_parity():
+    from vq_voice_swap.models.classifier import Classifier as TorchClf
+
+    torch.manual_seed(3)
+    tm = TorchClf(
+        num_labels=5, base_channels=4, channel_mult=(1, 2), depth_mult=1,
+        output_mult=2,
+    )
+    tm.eval()
+
+    from vq_voice_swap_tpu.models import Classifier
+
+    jm = Classifier(
+        num_labels=5, base_channels=4, channel_mult=(1, 2), depth_mult=1,
+        output_mult=2,
+    )
+
+    variables = convert_state_dict("Classifier", {}, _to_numpy_sd(tm))
+    params = {"params": variables["params"]}
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 1, 32).astype(np.float32)
+    ts = np.asarray([0.0, 0.5], np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x), torch.from_numpy(ts)).numpy()
+    got = np.asarray(
+        jax.jit(
+            lambda p: jm.apply(
+                p, jnp.asarray(np.transpose(x, (0, 2, 1))), jnp.asarray(ts)
+            )
+        )(params)
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)

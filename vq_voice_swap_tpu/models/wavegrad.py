@@ -53,7 +53,7 @@ class FiLM(nn.Module):
                 dtype=self.dtype,
                 name="label_emb",
             )(labels)
-        c = nn.LayerNorm(dtype=self.dtype, name="cond_norm")(cond)
+        c = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cond_norm")(cond)
         c = Conv1d(hidden, 3, dtype=self.dtype, name="cond_conv")(c)
         emb = emb[:, None, :] + c
         ab = Conv1d(
@@ -95,7 +95,7 @@ class UBlock(nn.Module):
         res = nearest_upsample_1d(h, self.upsample_rate)
         res = Conv1d(self.out_channels, 3, dtype=self.dtype, name="res_conv")(res)
 
-        out = nn.LayerNorm(dtype=self.dtype, name="norm_1")(h)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_1")(h)
         out = nearest_upsample_1d(gelu(out), self.upsample_rate)
         out = Conv1d(self.out_channels, 3, dtype=self.dtype, name="conv_1")(out)
         out = film("film_1")(out, z, ts, labels=labels)
@@ -106,7 +106,7 @@ class UBlock(nn.Module):
 
         res = out
         out = film("film_2")(out, z, ts, labels=labels)
-        out = nn.LayerNorm(dtype=self.dtype, name="norm_3")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_3")(out)
         out = Conv1d(
             self.out_channels, 3, dilation=4, dtype=self.dtype, name="conv_3"
         )(gelu(out))
@@ -133,7 +133,7 @@ class DBlock(nn.Module):
         res = Conv1d(self.out_channels, 3, dtype=self.dtype, name="res_conv")(h)
         res = avg_pool_1d(res, self.downsample_rate)
 
-        out = nn.LayerNorm(dtype=self.dtype, name="norm_in")(h)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(h)
         out = avg_pool_1d(out, self.downsample_rate)
         out = Conv1d(self.out_channels, 3, dtype=self.dtype, name="conv_1")(
             gelu(out)
@@ -144,7 +144,7 @@ class DBlock(nn.Module):
         out = out + res
 
         for i in range(self.extra_blocks):
-            e = nn.LayerNorm(dtype=self.dtype, name=f"extra_norm_{i}")(out)
+            e = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"extra_norm_{i}")(out)
             e = Conv1d(
                 self.out_channels, 3, dtype=self.dtype, name=f"extra_conv_{i}_a"
             )(gelu(e))
@@ -226,7 +226,7 @@ class WaveGradPredictor(nn.Module):
                 name=f"u_block_{i}",
             )(u, d_outs.pop(), ts, labels=labels)
 
-        out = nn.LayerNorm(dtype=self.dtype, name="out_norm")(u)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(u)
         out = Conv1d(
             1,
             3,

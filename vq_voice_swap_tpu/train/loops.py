@@ -29,7 +29,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import serialization, traverse_util
+from flax import serialization
 
 from ..classifier_model import ClassifierModel, EncoderPredictorModel
 from ..data import create_data_loader
@@ -205,9 +205,8 @@ class TrainLoop(ABC):
         path = self.opt_path()
         if os.path.exists(path):
             print("loading optimizer state from checkpoint...")
-            with np.load(path, allow_pickle=False) as data:
-                flat = {k: data[k] for k in data.files}
-            restored = traverse_util.unflatten_dict(flat, sep="/")
+            with open(path, "rb") as f:
+                restored = serialization.msgpack_restore(f.read())
             opt_state = serialization.from_state_dict(opt_state, restored)
         return opt_state
 
@@ -239,14 +238,14 @@ class TrainLoop(ABC):
         self.logger.mark_save()
 
     def save_opt_state(self):
-        state_dict = serialization.to_state_dict(self.state.opt_state)
-        flat = traverse_util.flatten_dict(state_dict, sep="/")
-        arrays = {k: np.asarray(v) for k, v in flat.items()}
+        state_dict = serialization.to_state_dict(
+            jax.tree.map(np.asarray, self.state.opt_state)
+        )
+        data = serialization.msgpack_serialize(state_dict)
         tmp = self.opt_path() + ".tmp"
-        np.savez(tmp, **arrays)
-        # np.savez appends .npz to names without extension.
-        src = tmp if os.path.exists(tmp) else tmp + ".npz"
-        os.replace(src, self.opt_path())
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self.opt_path())
 
     def checkpoint_path(self):
         return os.path.join(self.args.output_dir, "model.npz")
