@@ -7,8 +7,11 @@ test strategy (SURVEY.md §4).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the CPU backend initialises. Forced (not setdefault):
+# the session environment pins JAX_PLATFORMS to the TPU plugin and the
+# plugin re-appends itself to jax_platforms, so the env var alone is not
+# enough — jax.config.update below is authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+assert len(jax.devices()) == 8, (
+    f"tests require the virtual 8-device CPU platform, got {jax.devices()}"
+)

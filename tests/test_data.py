@@ -113,6 +113,38 @@ def test_librispeech_directory(tmp_path):
     assert len(ds2) == 2
 
 
+def test_window_cache(tmp_path):
+    from vq_voice_swap_tpu.data.cache import WindowCache
+
+    wav_path = os.path.join(tmp_path, "a.wav")
+    signal = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.1
+    _write_wav(wav_path, signal)
+
+    cache = WindowCache(os.path.join(tmp_path, "cache"), 16000)
+    cache.build([wav_path])
+    win = cache.read_window(wav_path, 4000, 8000)
+    np.testing.assert_allclose(win, signal[4000:12000], atol=1e-3)
+    # Tail zero-padding.
+    tail = cache.read_window(wav_path, 12000, 8000)
+    np.testing.assert_allclose(tail[:4000], signal[12000:], atol=1e-3)
+    np.testing.assert_array_equal(tail[4000:], 0)
+    # Rebuilding is a no-op; reload from disk works.
+    cache.build([wav_path])
+    cache2 = WindowCache(os.path.join(tmp_path, "cache"), 16000)
+    assert cache2.file_length(wav_path) == 16000
+
+
+def test_librispeech_cached_matches_direct(tmp_path):
+    os.makedirs(os.path.join(tmp_path, "spk"))
+    signal = np.random.RandomState(1).randn(16000).astype(np.float32) * 0.1
+    _write_wav(os.path.join(tmp_path, "spk", "u.wav"), signal)
+    ds_cached = LibriSpeech(str(tmp_path), window_duration=1.0, use_cache=True)
+    ds_direct = LibriSpeech(str(tmp_path), window_duration=1.0, use_cache=False)
+    np.testing.assert_allclose(
+        ds_cached[0]["samples"], ds_direct[0]["samples"], atol=1e-4
+    )
+
+
 def test_librispeech_windowing(tmp_path):
     os.makedirs(os.path.join(tmp_path, "spk"))
     _write_wav(os.path.join(tmp_path, "spk", "long.wav"),

@@ -1,0 +1,113 @@
+"""Decoded-audio window cache.
+
+The reference decodes audio with one ffmpeg subprocess per __getitem__ and
+seeks by *reading and discarding* samples (reference dataset.py:100-110) —
+the data-loading bottleneck called out in SURVEY.md §7. This cache decodes
+each file once into a raw float32 arena on disk; thereafter a window read is
+a single memmap slice at memory-bandwidth speed, with zero subprocesses.
+
+Layout: <cache_dir>/arena.f32 (concatenated mono float32 at the target
+sample rate) + <cache_dir>/arena_index.json mapping the source path to its
+(offset, length) span and recording the sample rate.
+"""
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .audio_io import ChunkReader
+
+__all__ = ["WindowCache"]
+
+_CHUNK = 1 << 18  # samples per streaming read while building
+
+
+class WindowCache:
+    def __init__(self, cache_dir: str, sample_rate: int = 16000):
+        self.cache_dir = cache_dir
+        self.sample_rate = sample_rate
+        os.makedirs(cache_dir, exist_ok=True)
+        self.arena_path = os.path.join(cache_dir, "arena.f32")
+        self.index_path = os.path.join(cache_dir, "arena_index.json")
+        self.index: Dict[str, Tuple[int, int]] = {}
+        self._mmap: Optional[np.memmap] = None
+        if os.path.exists(self.index_path):
+            with open(self.index_path, "rt") as f:
+                meta = json.load(f)
+            assert meta["sample_rate"] == sample_rate, (
+                "cache was built at a different sample rate"
+            )
+            self.index = {k: tuple(v) for k, v in meta["files"].items()}
+
+    # ------------------------------------------------------------- building
+
+    def build(self, paths) -> None:
+        """Decode any not-yet-cached files and append them to the arena."""
+        missing = [p for p in paths if p not in self.index]
+        if not missing:
+            return
+        offset = 0
+        if os.path.exists(self.arena_path):
+            offset = os.path.getsize(self.arena_path) // 4
+        with open(self.arena_path, "ab") as arena:
+            for path in missing:
+                length = 0
+                with ChunkReader(path, self.sample_rate) as reader:
+                    while True:
+                        chunk = reader.read(_CHUNK)
+                        if chunk is None or len(chunk) == 0:
+                            break
+                        arena.write(
+                            np.asarray(chunk, dtype="<f4").tobytes()
+                        )
+                        length += len(chunk)
+                self.index[path] = (offset, length)
+                offset += length
+        with open(self.index_path, "wt") as f:
+            json.dump(
+                {"sample_rate": self.sample_rate,
+                 "files": {k: list(v) for k, v in self.index.items()}},
+                f,
+            )
+        self._mmap = None  # force re-open at the new size
+
+    # -------------------------------------------------------------- reading
+
+    def _arena(self) -> np.memmap:
+        if self._mmap is None:
+            self._mmap = np.memmap(self.arena_path, dtype="<f4", mode="r")
+        return self._mmap
+
+    def file_length(self, path: str) -> int:
+        return self.index[path][1]
+
+    def read_window(self, path: str, offset: int, num_samples: int) -> np.ndarray:
+        """Zero-padded float32 window of a cached file."""
+        base, length = self.index[path]
+        start = base + min(offset, length)
+        end = base + min(offset + num_samples, length)
+        window = np.asarray(self._arena()[start:end], dtype=np.float32)
+        if len(window) < num_samples:
+            window = np.pad(window, (0, num_samples - len(window)))
+        return window
+
+    def read_windows(self, refs, num_samples: int) -> np.ndarray:
+        """Batch read: refs is a list of (path, offset) -> [N, num_samples].
+
+        Routed through the native gather kernel when built (one memcpy per
+        row); otherwise a vectorised numpy fallback.
+        """
+        from .native import batch_gather_windows
+
+        starts = np.empty(len(refs), np.int64)
+        avail = np.empty(len(refs), np.int64)
+        for i, (path, offset) in enumerate(refs):
+            base, length = self.index[path]
+            offset = min(offset, length)
+            starts[i] = base + offset
+            avail[i] = length - offset
+        return batch_gather_windows(
+            self._arena(), starts, avail, num_samples
+        )

@@ -66,12 +66,14 @@ class LibriSpeech:
         window_duration: float = 4.0,
         window_spacing: float = 0.2,
         sample_rate: int = 16000,
+        use_cache: bool = True,
     ):
         self.directory = directory
         self.encoding = encoding
         self.window_duration = window_duration
         self.window_spacing = window_spacing
         self.sample_rate = sample_rate
+        self.use_cache = use_cache
 
         index_path = os.path.join(directory, "index.json")
         if os.path.exists(index_path):
@@ -88,6 +90,15 @@ class LibriSpeech:
             self._index_speaker(
                 label, os.path.join(directory, speaker), self.index[speaker]
             )
+
+        self.cache = None
+        if use_cache:
+            from .cache import WindowCache
+
+            self.cache = WindowCache(
+                os.path.join(directory, ".window_cache"), sample_rate
+            )
+            self.cache.build(sorted({w.path for w in self.windows}))
 
     def _index_speaker(self, label: int, path: str, entry) -> None:
         for name, item in entry.items():
@@ -109,19 +120,36 @@ class LibriSpeech:
     def __len__(self) -> int:
         return len(self.windows)
 
+    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Vectorised batch fetch from the window cache (native gather when
+        built); used by the DataLoader fast path."""
+        assert self.cache is not None
+        num_samples = int(self.sample_rate * self.window_duration)
+        refs = [self.windows[int(i)] for i in indices]
+        samples = self.cache.read_windows(
+            [(r.path, r.offset) for r in refs], num_samples
+        )
+        samples = encode_from_linear(samples, self.encoding)
+        labels = np.asarray([r.label for r in refs], np.int32)
+        return {"label": labels, "samples": samples.astype(np.float32)}
+
     def __getitem__(self, index: int) -> Dict[str, Union[int, np.ndarray]]:
         ref = self.windows[index]
         num_samples = int(self.sample_rate * self.window_duration)
-        with ChunkReader(
-            ref.path, self.sample_rate, encoding=self.encoding
-        ) as reader:
-            if ref.offset:
-                reader.read(ref.offset)  # seek by discarding
-            samples = reader.read(num_samples)
-        if samples is None:
-            samples = np.zeros(0, dtype=np.float32)
-        if len(samples) < num_samples:
-            samples = np.pad(samples, (0, num_samples - len(samples)))
+        if self.cache is not None:
+            samples = self.cache.read_window(ref.path, ref.offset, num_samples)
+            samples = encode_from_linear(samples, self.encoding)
+        else:
+            with ChunkReader(
+                ref.path, self.sample_rate, encoding=self.encoding
+            ) as reader:
+                if ref.offset:
+                    reader.read(ref.offset)  # seek by discarding
+                samples = reader.read(num_samples)
+            if samples is None:
+                samples = np.zeros(0, dtype=np.float32)
+            if len(samples) < num_samples:
+                samples = np.pad(samples, (0, num_samples - len(samples)))
         return {"label": ref.label, "samples": samples.astype(np.float32)}
 
 

@@ -65,7 +65,14 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        get_batch = getattr(self.dataset, "get_batch", None)
+        use_fast = get_batch is not None and getattr(
+            self.dataset, "cache", None
+        ) is not None
+
         def collate(idxs):
+            if use_fast:
+                return get_batch(idxs)
             items = [self.dataset[int(i)] for i in idxs]
             return {
                 "label": np.asarray([it["label"] for it in items], np.int32),

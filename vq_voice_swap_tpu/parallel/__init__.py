@@ -2,6 +2,7 @@ from .mesh import (
     DATA_AXIS,
     batch_sharding,
     create_mesh,
+    initialize_multihost,
     replicate,
     replicated_sharding,
     shard_batch,
@@ -11,6 +12,7 @@ __all__ = [
     "DATA_AXIS",
     "batch_sharding",
     "create_mesh",
+    "initialize_multihost",
     "replicate",
     "replicated_sharding",
     "shard_batch",

@@ -27,6 +27,21 @@ __all__ = [
 DATA_AXIS = "data"
 
 
+def initialize_multihost() -> None:
+    """Initialise JAX distributed runtime for multi-host (DCN) training.
+
+    Safe to call unconditionally: a no-op when the cluster-environment
+    variables (e.g. on Cloud TPU pods) are absent or when already
+    initialised. After this, jax.devices() spans all hosts and the same
+    data-parallel mesh code scales across DCN; per-host loaders should feed
+    jax.make_array_from_process_local_data.
+    """
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host / already initialised
+
+
 def create_mesh(num_devices: Optional[int] = None,
                 devices: Optional[list] = None) -> Mesh:
     """A 1-D data-parallel mesh over the available devices."""

@@ -126,14 +126,23 @@ class TrainLoop(ABC):
     # ----------------------------------------------------------- main loop
 
     def loop(self, max_steps: Optional[int] = None):
-        for i, batch in enumerate(repeat_dataset(self.data_loader)):
-            if max_steps is not None and i >= max_steps:
-                break
-            self.total_steps = i + self.logger.start_step
-            self.loop_steps = i
-            self.step(batch)
+        if max_steps is None:
+            max_steps = getattr(self.args, "max_steps", None)
+        if getattr(self.args, "profile_dir", None):
+            jax.profiler.start_trace(self.args.profile_dir)
+        try:
+            for i, batch in enumerate(repeat_dataset(self.data_loader)):
+                if max_steps is not None and i >= max_steps:
+                    break
+                self.total_steps = i + self.logger.start_step
+                self.loop_steps = i
+                self.step(batch)
+        finally:
+            if getattr(self.args, "profile_dir", None):
+                jax.profiler.stop_trace()
 
     def step(self, batch: Dict[str, np.ndarray]):
+        start = time.perf_counter()
         rng = jax.random.fold_in(
             jax.random.key(self.rng_seed), self.total_steps
         )
@@ -141,7 +150,13 @@ class TrainLoop(ABC):
         self.state, metrics = self.train_step(
             self.state, device_batch, rng, self.frozen_ctx
         )
-        self.log_metrics(metrics)
+        # Wall-clock / throughput: reading the loss forces completion, so
+        # this measures the actual step (first steps include compile).
+        metrics = dict(metrics)
+        loss = float(metrics["loss"])
+        elapsed = time.perf_counter() - start
+        metrics["samples_per_sec"] = self.args.batch_size / elapsed
+        self.log_metrics(metrics, loss=loss)
         if (self.total_steps + 1) % self.args.save_interval == 0:
             self.save()
 
@@ -149,13 +164,16 @@ class TrainLoop(ABC):
         """Hook to augment the host batch (e.g. curriculum scalars)."""
         return batch
 
-    def log_metrics(self, metrics: Dict[str, Any]):
+    def log_metrics(self, metrics: Dict[str, Any], loss: Optional[float] = None):
         # One D2H transfer for the scalar metrics per step.
-        loss = float(metrics["loss"])
+        if loss is None:
+            loss = float(metrics["loss"])
         self.tracker.add(metrics["ts"], metrics["mses"])
         other = {k: float(v) for k, v in metrics.get("extra", {}).items()}
         if "codebook_used" in metrics:
             other["codebook_used"] = float(metrics["codebook_used"])
+        if "samples_per_sec" in metrics:
+            other["samples_per_sec"] = float(metrics["samples_per_sec"])
         other.update(self.tracker.log_dict())
         self.logger.log(self.loop_steps + 1, loss=loss, **other)
 
@@ -308,6 +326,11 @@ class TrainLoop(ABC):
         parser.add_argument("--seed", default=0, type=int)
         parser.add_argument("--bf16", action="store_true",
                             help="compute in bfloat16 (params stay float32)")
+        parser.add_argument("--profile-dir", default=None, type=str,
+                            help="write a jax.profiler trace here")
+        parser.add_argument("--max-steps", default=None, type=int,
+                            help="stop after this many steps (default: run "
+                                 "until killed, as the reference does)")
         parser.add_argument("data_dir", type=str)
         return parser
 
