@@ -47,6 +47,10 @@ def _xla_assign(dictionary: jnp.ndarray, x: jnp.ndarray) -> Tuple[jnp.ndarray, j
 def pallas_supported(num_codes: int, num_channels: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
+    # Single-chip only for now: under a multi-device mesh the kernel would
+    # need a shard_map wrapper to stay partitioned (future optimization).
+    if jax.device_count() != 1:
+        return False
     return num_codes % _LANE == 0 and num_channels % _LANE == 0
 
 
@@ -63,8 +67,12 @@ def _assign_kernel(x_ref, dict_t_ref, dictn_ref, idx_ref, used_ref):
 
     i = pl.program_id(0)
 
+    # HIGHEST precision (f32 via bf16 multi-passing): assignment must agree
+    # with the f32 reference path — bf16 rounding flips near-tie argmins.
     dots = jnp.dot(
-        x_ref[:], dict_t_ref[:], preferred_element_type=jnp.float32
+        x_ref[:], dict_t_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [TB, D] on the MXU
     dists = dictn_ref[0, :][None, :] - 2.0 * dots
     idx = jnp.argmin(dists, axis=-1).astype(jnp.int32)

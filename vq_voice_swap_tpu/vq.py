@@ -76,8 +76,16 @@ def vq_forward(
       - "embedded": codebook rows, gradients flow to the dictionary.
       - "passthrough": straight-through output, gradients flow to x.
       - "idxs": [N, T] integer code indices.
+
+    The nearest-neighbor assignment dispatches to the fused Pallas kernel on
+    TPU for large batches (ops/vq_pallas.py); the assignment itself is
+    non-differentiable, so routing it through stop_gradient is exact.
     """
-    idxs, _ = nearest_codes(dictionary, jax.lax.stop_gradient(x))
+    from .ops.vq_pallas import vq_assign
+
+    flat = jnp.reshape(jax.lax.stop_gradient(x), (-1, x.shape[-1]))
+    idxs_flat, _ = vq_assign(jax.lax.stop_gradient(dictionary), flat)
+    idxs = jnp.reshape(idxs_flat, x.shape[:-1])
     embedded = jnp.take(dictionary, idxs, axis=0)  # [N, T, C]
     passthrough = x + jax.lax.stop_gradient(embedded - x)
     return {"embedded": embedded, "passthrough": passthrough, "idxs": idxs}
