@@ -16,15 +16,17 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vq_voice_swap_tpu.diffusion import make_warp
 from vq_voice_swap_tpu.diffusion_model import DiffusionModel
 
-# Reference (torch CPU, 1x this host) throughput for 50-step unet64 sampling,
+# Reference (torch CPU, this host) throughput for 50-step unet64 sampling,
 # in generated waveform samples per second. Measured via
-# scripts/measure_reference_cpu.py on 2026-08-16 (batch 1, 4 s clip):
-# one 50-step sample took ~873 s of CPU time => ~73 samples/sec.
-BASELINE_CPU_SAMPLES_PER_SEC = 73.0
+# scripts/measure_reference_cpu.py on 2026-08-16: 2.17 s per predictor
+# forward (batch 1, 4 s clip) -> 108.6 s per 50-step sample -> 589.4
+# samples/sec.
+BASELINE_CPU_SAMPLES_PER_SEC = 589.4
 
 SAMPLE_LEN = 64000
 STEPS = 50
@@ -49,17 +51,19 @@ def main():
             warp=warp,
         )
 
-    # Warmup / compile.
-    out = sample(variables, jax.random.key(1))
-    out.block_until_ready()
+    # Warmup / compile / device program load. NOTE: on tunneled TPU runtimes
+    # block_until_ready can return early, so every sync below goes through a
+    # host fetch (np.asarray), which is the only reliable barrier.
+    np.asarray(sample(variables, jax.random.key(1)))
 
-    start = time.perf_counter()
+    times = []
     for i in range(REPEATS):
-        out = sample(variables, jax.random.key(2 + i))
-    out.block_until_ready()
-    elapsed = time.perf_counter() - start
+        start = time.perf_counter()
+        np.asarray(sample(variables, jax.random.key(2 + i)))
+        times.append(time.perf_counter() - start)
+    elapsed = min(times)
 
-    samples_per_sec = REPEATS * BATCH * SAMPLE_LEN / elapsed
+    samples_per_sec = BATCH * SAMPLE_LEN / elapsed
     print(
         json.dumps(
             {
