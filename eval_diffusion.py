@@ -27,13 +27,15 @@ def main():
     model, variables = DiffusionModel.load(args.checkpoint_path)
 
     @jax.jit
-    def eval_batch(rng, samples):
+    def eval_batch(rng, samples, labels):
         x = samples[..., None]
         t_rng, n_rng = jax.random.split(rng)
         ts = jax.random.uniform(t_rng, (x.shape[0],))
         noise = jax.random.normal(n_rng, x.shape, dtype=x.dtype)
         noised = model.diffusion.sample_q(x, ts, epsilon=noise)
-        pred = model.predict_eps(variables, noised, ts)
+        # Class-conditional models are evaluated with the true labels.
+        lab = labels if model.num_labels is not None else None
+        pred = model.predict_eps(variables, noised, ts, labels=lab)
         sq = jnp.square(noise - pred)
         return ts, jnp.mean(jnp.reshape(sq, (x.shape[0], -1)), axis=1)
 
@@ -42,7 +44,8 @@ def main():
     root = jax.random.key(args.seed)
     for i, batch in enumerate(data_loader):
         ts, losses = eval_batch(jax.random.fold_in(root, i),
-                                jnp.asarray(batch["samples"]))
+                                jnp.asarray(batch["samples"]),
+                                jnp.asarray(batch["label"]))
         tracker.add(ts, losses)
         num_samples += len(batch["samples"])
         msg = " ".join(

@@ -127,6 +127,32 @@ def test_encoder_predictor():
     assert np.all(np.asarray(losses) > 0)
 
 
+def test_remat_grads_match():
+    """--grad-checkpoint (nn.remat) must give identical gradients."""
+    kw = dict(base_channels=4, channel_mult=(1, 2), middle_dilations=(2,),
+              depth_mult=1)
+    m_remat = UNetPredictor(remat=True, **kw)
+    m_plain = UNetPredictor(remat=False, **kw)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 32, 1), dtype=jnp.float32
+    )
+    ts = jnp.asarray([0.1, 0.9])
+    params = jinit(m_remat, jax.random.key(0), x, ts)
+
+    g1 = jax.jit(jax.grad(lambda p: jnp.sum(m_remat.apply(p, x, ts) ** 2)))(
+        params
+    )
+    g2 = jax.jit(jax.grad(lambda p: jnp.sum(m_plain.apply(p, x, ts) ** 2)))(
+        params
+    )
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    total = sum(
+        float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g1)
+    )
+    assert total > 0
+
+
 def test_registries():
     p = make_predictor("unet", base_channels=4)
     assert isinstance(p, UNetPredictor)

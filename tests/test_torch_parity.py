@@ -21,7 +21,9 @@ REFERENCE = "/root/reference"
 if not os.path.isdir(os.path.join(REFERENCE, "vq_voice_swap")):
     pytest.skip("reference repo not available", allow_module_level=True)
 if REFERENCE not in sys.path:
-    sys.path.insert(0, REFERENCE)
+    # Append (not insert): the reference repo also has top-level scripts
+    # whose names collide with ours; repo-root modules must win.
+    sys.path.append(REFERENCE)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -177,6 +179,127 @@ def test_wavegrad_predictor_parity():
                 labels=jnp.asarray(labels),
             )
         )(params)
+    )
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 2, 1)), want, atol=ATOL, rtol=RTOL
+    )
+
+
+@pytest.mark.parametrize("sigma_large,constrain,use_cond",
+                         [(False, False, False), (True, False, False),
+                          (False, True, False), (False, False, True)])
+def test_reverse_step_parity(sigma_large, constrain, use_cond):
+    """ddpm_previous must match the reference update exactly (sigma choice,
+    guidance-on-mean, constrain order of operations)."""
+    from vq_voice_swap.diffusion import Diffusion as TorchDiffusion
+    from vq_voice_swap.diffusion.schedule import ExpSchedule as TorchExp
+
+    from vq_voice_swap_tpu.diffusion import Diffusion, ExpSchedule
+
+    tdiff = TorchDiffusion(TorchExp())
+    jdiff = Diffusion(ExpSchedule())
+
+    rng = np.random.RandomState(0)
+    x_t = rng.randn(2, 1, 64).astype(np.float32) * 2
+    eps = rng.randn(2, 1, 64).astype(np.float32)
+    noise = rng.randn(2, 1, 64).astype(np.float32)
+    ts = np.asarray([0.8, 0.3], np.float32)
+    step = 0.1
+
+    t_cond = (lambda mean, t: torch.ones_like(mean) * 0.5) if use_cond else None
+    j_cond = (lambda mean, t: jnp.ones_like(mean) * 0.5) if use_cond else None
+
+    want = tdiff.ddpm_previous(
+        torch.from_numpy(x_t),
+        torch.from_numpy(ts),
+        step,
+        torch.from_numpy(eps),
+        noise=torch.from_numpy(noise),
+        sigma_large=sigma_large,
+        constrain=constrain,
+        cond_fn=t_cond,
+    ).numpy()
+    got = np.asarray(
+        jdiff.ddpm_previous(
+            jnp.asarray(x_t),
+            jnp.asarray(ts),
+            jnp.asarray(step),
+            jnp.asarray(eps),
+            jnp.asarray(noise),
+            sigma_large=sigma_large,
+            constrain=constrain,
+            cond_fn=j_cond,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_sample_q_parity():
+    from vq_voice_swap.diffusion import Diffusion as TorchDiffusion
+    from vq_voice_swap.diffusion.schedule import CosSchedule as TorchCos
+
+    from vq_voice_swap_tpu.diffusion import CosSchedule, Diffusion
+
+    rng = np.random.RandomState(1)
+    x0 = rng.randn(3, 1, 32).astype(np.float32)
+    eps = rng.randn(3, 1, 32).astype(np.float32)
+    ts = np.asarray([0.1, 0.5, 0.99], np.float32)
+    want = TorchDiffusion(TorchCos()).sample_q(
+        torch.from_numpy(x0), torch.from_numpy(ts), torch.from_numpy(eps)
+    ).numpy()
+    got = np.asarray(
+        Diffusion(CosSchedule()).sample_q(
+            jnp.asarray(x0), jnp.asarray(ts), jnp.asarray(eps)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_checkpoint_file_conversion(tmp_path):
+    """Full file-level path: torch-save a reference DiffusionModel checkpoint,
+    convert it with convert_torch_checkpoint, load through ModelBase, and
+    verify the prediction matches torch."""
+    import os
+
+    from vq_voice_swap.diffusion_model import DiffusionModel as TorchDM
+
+    torch.manual_seed(7)
+    tdm = TorchDM(pred_name="wavegrad", base_channels=2, num_labels=3)
+    tdm.eval()
+    pt_path = os.path.join(tmp_path, "model.pt")
+    torch.save(
+        {"kwargs": tdm.save_kwargs(), "state_dict": tdm.state_dict()}, pt_path
+    )
+
+    from vq_voice_swap_tpu.convert import convert_torch_checkpoint
+    from vq_voice_swap_tpu.model_base import ModelBase
+
+    npz_path = os.path.join(tmp_path, "model.npz")
+    class_name, kwargs = convert_torch_checkpoint(pt_path, npz_path)
+    assert class_name == "DiffusionModel"
+
+    model, variables = ModelBase.load(npz_path)
+    assert model.pred_name == "wavegrad" and model.num_labels == 3
+    assert model.schedule_name == tdm.schedule_name
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 1, 128).astype(np.float32)
+    ts = np.asarray([0.2, 0.6], np.float32)
+    labels = np.asarray([2, 0])
+    with torch.no_grad():
+        want = tdm.predictor(
+            torch.from_numpy(x), torch.from_numpy(ts),
+            labels=torch.from_numpy(labels),
+        ).numpy()
+    got = np.asarray(
+        jax.jit(
+            lambda v: model.predict_eps(
+                v,
+                jnp.asarray(np.transpose(x, (0, 2, 1))),
+                jnp.asarray(ts),
+                labels=jnp.asarray(labels),
+            )
+        )(variables)
     )
     np.testing.assert_allclose(
         np.transpose(got, (0, 2, 1)), want, atol=ATOL, rtol=RTOL

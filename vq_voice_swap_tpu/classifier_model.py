@@ -116,18 +116,24 @@ class EncoderPredictorModel(ModelBase):
         downsample_rate: int,
         num_latents: int,
         bottleneck_dim: int = 64,
+        channel_mult: Tuple[int, ...] = (1, 1, 2, 2, 2, 4, 4, 8, 8),
+        depth_mult: int = 2,
         dtype: Optional[str] = None,
     ):
         self.base_channels = base_channels
         self.downsample_rate = downsample_rate
         self.num_latents = num_latents
         self.bottleneck_dim = bottleneck_dim
+        self.channel_mult = tuple(channel_mult)
+        self.depth_mult = depth_mult
         self.dtype_name = dtype
         self.module = EncoderPredictor(
             base_channels=base_channels,
             downsample_rate=downsample_rate,
             num_latents=num_latents,
             bottleneck_dim=bottleneck_dim,
+            channel_mult=self.channel_mult,
+            depth_mult=depth_mult,
             dtype=jnp.dtype(dtype) if dtype else None,
         )
 
@@ -137,12 +143,15 @@ class EncoderPredictorModel(ModelBase):
             downsample_rate=self.downsample_rate,
             num_latents=self.num_latents,
             bottleneck_dim=self.bottleneck_dim,
+            channel_mult=list(self.channel_mult),
+            depth_mult=self.depth_mult,
             dtype=self.dtype_name,
         )
 
     def init_variables(self, rng: jax.Array, seq_len: int = 0) -> Dict[str, Any]:
-        # Must divide both the UNet rate (256) and the latent rate.
-        seq_len = seq_len or max(256, self.downsample_rate) * 4
+        # Must divide both the UNet rate and the latent rate.
+        unet_rate = 2 ** (len(self.channel_mult) - 1)
+        seq_len = seq_len or max(unet_rate, self.downsample_rate) * 4
         x = jnp.zeros((1, seq_len, 1))
         ts = jnp.zeros((1,))
         v = jit_init(self.module, rng, x, ts)

@@ -42,7 +42,17 @@ def register_model(cls: Type["ModelBase"]) -> Type["ModelBase"]:
     return cls
 
 
+def _ensure_registered() -> None:
+    """Import the modules that register the standard model classes (lazy, so
+    loading a checkpoint works regardless of what the caller imported)."""
+    import importlib
+
+    for mod in (".diffusion_model", ".vq_vae", ".classifier_model"):
+        importlib.import_module(mod, package=__package__)
+
+
 def build_model(class_name: str, kwargs: Dict[str, Any]) -> "ModelBase":
+    _ensure_registered()
     if class_name not in _REGISTRY:
         raise ValueError(
             f"unknown model class {class_name!r} (known: {sorted(_REGISTRY)})"
@@ -76,6 +86,7 @@ class ModelBase:
         """Load from a checkpoint; the class is taken from the manifest but
         must be cls or a subclass when called on a concrete class."""
         class_name, kwargs, variables, _ = load_checkpoint(path)
+        _ensure_registered()
         model_cls = _REGISTRY.get(class_name)
         if model_cls is None:
             raise ValueError(f"unknown model class in checkpoint: {class_name}")

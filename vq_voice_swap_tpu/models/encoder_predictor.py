@@ -27,11 +27,15 @@ class EncoderPredictor(nn.Module):
     downsample_rate: int
     num_latents: int
     bottleneck_dim: int = 64
+    channel_mult: tuple = (1, 1, 2, 2, 2, 4, 4, 8, 8)
+    depth_mult: int = 2
     dtype: Optional[Dtype] = None
 
     def setup(self):
         self.unet = UNetPredictor(
             base_channels=self.base_channels,
+            channel_mult=tuple(self.channel_mult),
+            depth_mult=self.depth_mult,
             out_channels=self.bottleneck_dim,
             dtype=self.dtype,
         )

@@ -62,9 +62,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Device-put a host batch with its leading axis sharded over the mesh."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Device-put a host batch with its leading axis sharded over the mesh.
+
+    Rank-0 entries (e.g. curriculum scalars) are replicated.
+    """
+    sharded = batch_sharding(mesh)
+    replicated = replicated_sharding(mesh)
+
+    def put(x):
+        target = sharded if np.ndim(x) >= 1 else replicated
+        return jax.device_put(x, target)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
