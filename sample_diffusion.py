@@ -23,6 +23,7 @@ from vq_voice_swap_tpu.classifier_model import ClassifierModel
 from vq_voice_swap_tpu.data import ChunkWriter
 from vq_voice_swap_tpu.diffusion import make_warp
 from vq_voice_swap_tpu.diffusion_model import DiffusionModel
+from vq_voice_swap_tpu.parallel import batch_sharding, create_mesh
 
 SAMPLE_LEN = 64000
 SAMPLE_RATE = 16000
@@ -55,10 +56,17 @@ def main():
 
         return cond_fn
 
+    # Batched sampling shards the batch axis over all available chips
+    # (a no-op on one chip; linear scaling on a pod slice).
+    mesh = create_mesh()
+    sharding = batch_sharding(mesh) if mesh.devices.size > 1 else None
+
     @partial(jax.jit, static_argnames=("batch",))
     def sample_batch(rng, labels, batch):
         noise_rng, samp_rng = jax.random.split(rng)
         x_T = jax.random.normal(noise_rng, (batch, SAMPLE_LEN, 1))
+        if sharding is not None and batch % mesh.devices.size == 0:
+            x_T = jax.lax.with_sharding_constraint(x_T, sharding)
         pred = (
             (lambda xs, ts: model.predict_eps(variables, xs, ts, labels=labels))
             if model.num_labels is not None

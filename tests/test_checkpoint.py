@@ -38,6 +38,28 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["buffers"]["u"], variables["buffers"]["u"])
 
 
+def test_orbax_roundtrip(tmp_path):
+    from vq_voice_swap_tpu.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    variables = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "buffers": {"u": np.ones(4, np.int32)},
+    }
+    path = os.path.join(tmp_path, "ckpt_dir")
+    save_checkpoint_orbax(path, "Test", {"a": 1}, variables)
+    cls, kwargs, loaded, _ = load_checkpoint_orbax(path)
+    assert cls == "Test" and kwargs == {"a": 1}
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["w"]), variables["params"]["w"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded["buffers"]["u"]), variables["buffers"]["u"]
+    )
+
+
 def test_copy_intersection():
     dst = {"a": np.zeros((2,)), "b": {"c": np.zeros((3,))}, "d": np.zeros(1)}
     src = {"a": np.ones((2,)), "b": {"c": np.ones((3,))}, "e": np.ones(9)}

@@ -28,6 +28,8 @@ from flax import traverse_util
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_orbax",
+    "load_checkpoint_orbax",
     "flatten_variables",
     "unflatten_variables",
     "copy_intersection",
@@ -86,6 +88,51 @@ def load_checkpoint(
         meta = json.loads(str(data[_META_KEY]))
         flat = {k: data[k] for k in data.files if k != _META_KEY}
     variables = unflatten_variables(flat)
+    return meta["class"], meta["kwargs"], variables, meta.get("extra", {})
+
+
+def save_checkpoint_orbax(
+    path: str,
+    class_name: str,
+    kwargs: Dict[str, Any],
+    variables: Dict[str, Any],
+) -> None:
+    """Directory-format checkpoint via Orbax, for sharded/multi-host scale.
+
+    Same self-describing manifest as the npz format (a manifest.json next to
+    the Orbax tree), so either backend can rebuild the model. Use this for
+    models too large for a single-host npz; Orbax writes each device's
+    shards in parallel.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(
+            {"format": _FORMAT_VERSION, "class": class_name, "kwargs": kwargs},
+            f,
+        )
+    ckptr = ocp.StandardCheckpointer()
+    tree_path = os.path.join(path, "variables")
+    if os.path.exists(tree_path):
+        import shutil
+
+        shutil.rmtree(tree_path)
+    ckptr.save(tree_path, variables)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(
+    path: str,
+) -> Tuple[str, Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "manifest.json")) as f:
+        meta = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    variables = ckptr.restore(os.path.join(path, "variables"))
     return meta["class"], meta["kwargs"], variables, meta.get("extra", {})
 
 
