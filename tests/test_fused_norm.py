@@ -1,0 +1,69 @@
+"""Tests for the (opt-in) fused GroupNorm op: reference-path semantics vs
+flax GroupNorm, custom-VJP gradients, and tiling policy."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_voice_swap_tpu.ops.fused_norm import (
+    fused_group_norm,
+    fused_norm_enabled,
+    pick_tile,
+    reference_group_norm,
+)
+
+
+def test_disabled_by_default():
+    assert not fused_norm_enabled()
+
+
+def test_reference_matches_flax_groupnorm():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 16), dtype=jnp.float32)
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-5)
+    params = gn.init(jax.random.key(0), x)
+    scale = params["params"]["scale"]
+    bias = params["params"]["bias"]
+    want = np.asarray(gn.apply(params, x))
+    got = np.asarray(reference_group_norm(x, scale, bias, 4, 1e-5, False))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    # With random affine + gelu.
+    scale2 = jnp.asarray(rng.rand(16), jnp.float32)
+    bias2 = jnp.asarray(rng.randn(16), jnp.float32)
+    want2 = jax.nn.gelu(
+        gn.apply({"params": {"scale": scale2, "bias": bias2}}, x),
+        approximate=False,
+    )
+    got2 = reference_group_norm(x, scale2, bias2, 4, 1e-5, True)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want2), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fused_group_norm_grads():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 32, 8), dtype=jnp.float32)
+    scale = jnp.ones((8,))
+    bias = jnp.zeros((8,))
+
+    def loss(xx, ss, bb):
+        return jnp.sum(fused_group_norm(xx, ss, bb, 4, 1e-5, True) ** 2)
+
+    def loss_ref(xx, ss, bb):
+        return jnp.sum(reference_group_norm(xx, ss, bb, 4, 1e-5, True) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_pick_tile():
+    # Divides T, aligned, and channel-aware VMEM budget.
+    assert pick_tile(64000, 64, jnp.bfloat16) == 4000
+    t = pick_tile(2000, 512, jnp.bfloat16)
+    assert t is not None and 2000 % t == 0 and t * 512 * 2 <= 512 * 1024
+    assert pick_tile(7, 64, jnp.float32) is None

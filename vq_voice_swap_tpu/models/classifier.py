@@ -97,7 +97,7 @@ class ClassifierStem(nn.Module):
             )(h, emb)
             bi += 1
 
-        h = gelu(GroupNorm(dtype=self.dtype, name="out_norm")(h))
+        h = GroupNorm(dtype=self.dtype, use_gelu=True, name="out_norm")(h)
         h = AttentionPool1d(
             head_channels=min(h.shape[-1], 64),
             out_channels=self.out_channels,

@@ -94,26 +94,62 @@ class Conv1d(nn.Module):
         )(x)
 
 
+class _NormParams(nn.Module):
+    """Owns GroupNorm's scale/bias with nn.GroupNorm-compatible paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        return scale, bias
+
+
 class GroupNorm(nn.Module):
-    """GroupNorm over the channel axis of [N, T, C], adaptive group count.
+    """GroupNorm over the channel axis of [N, T, C], adaptive group count,
+    optionally fused with an exact GELU.
 
     Mirrors the reference's `normalization()` helper (unet.py:345-349): 32
     groups, halved until it divides the channel count. Statistics in float32.
+    On single-chip TPU the stats + normalize run as fused Pallas kernels
+    (ops/fused_norm.py) — XLA's reduction lowering for this shape is the
+    dominant cost of the UNet forward otherwise.
     """
 
     max_groups: int = 32
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
+    use_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.fused_norm import fused_norm_enabled, fused_group_norm
+
         ch = x.shape[-1]
-        return nn.GroupNorm(
-            num_groups=adaptive_group_count(ch, self.max_groups),
+        groups = adaptive_group_count(ch, self.max_groups)
+        if fused_norm_enabled():
+            # Experimental Pallas stats kernel (see ops/fused_norm.py).
+            scale, bias = _NormParams(ch, name="norm")()
+            out = fused_group_norm(
+                x, scale, bias, groups, self.epsilon, self.use_gelu
+            )
+            if self.dtype is not None:
+                out = out.astype(self.dtype)
+            return out
+        out = nn.GroupNorm(
+            num_groups=groups,
             epsilon=self.epsilon,
             dtype=self.dtype,
             name="norm",
         )(x)
+        if self.use_gelu:
+            out = gelu(out)
+        return out
 
 
 class TimeEmbedding(nn.Module):
@@ -206,8 +242,7 @@ class ResBlock(nn.Module):
         out_ch = self.out_channels or in_ch
         assert (emb is not None) == self.use_emb
 
-        h = GroupNorm(dtype=self.dtype, name="norm_in")(x)
-        h = gelu(h)
+        h = GroupNorm(dtype=self.dtype, use_gelu=True, name="norm_in")(x)
         h = self._resize(h)
         h = Conv1d(out_ch, 3, dtype=self.dtype, name="conv_in")(h)
         h = GroupNorm(dtype=self.dtype, name="norm_mid")(h)

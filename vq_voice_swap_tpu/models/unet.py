@@ -126,7 +126,7 @@ class UNetPredictor(nn.Module):
                 )
         self.up_blocks = up
 
-        self.out_norm = GroupNorm(dtype=self.dtype)
+        self.out_norm = GroupNorm(dtype=self.dtype, use_gelu=True)
         self.out_conv = Conv1d(self.out_channels, 3, dtype=self.dtype)
 
     def __call__(
@@ -168,7 +168,7 @@ class UNetPredictor(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = b(h, emb, train)
 
-        h = gelu(self.out_norm(h))
+        h = self.out_norm(h)
         h = self.out_conv(h)
         return h.astype(jnp.float32)
 
@@ -207,7 +207,7 @@ class UNetEncoder(nn.Module):
             blocks.append(block(dilation=d, dtype=self.dtype))
         self.blocks = blocks
 
-        self.out_norm = GroupNorm(dtype=self.dtype)
+        self.out_norm = GroupNorm(dtype=self.dtype, use_gelu=True)
         self.out_conv = Conv1d(self.out_channels, 3, dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -216,6 +216,6 @@ class UNetEncoder(nn.Module):
         h = self.in_conv(x)
         for b in self.blocks:
             h = b(h, None, train)
-        h = gelu(self.out_norm(h))
+        h = self.out_norm(h)
         h = self.out_conv(h)
         return h.astype(jnp.float32)

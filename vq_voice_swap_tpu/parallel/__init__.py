@@ -2,6 +2,7 @@ from .mesh import (
     DATA_AXIS,
     batch_sharding,
     create_mesh,
+    global_batch_from_local,
     initialize_multihost,
     replicate,
     replicated_sharding,
@@ -12,6 +13,7 @@ __all__ = [
     "DATA_AXIS",
     "batch_sharding",
     "create_mesh",
+    "global_batch_from_local",
     "initialize_multihost",
     "replicate",
     "replicated_sharding",

@@ -80,3 +80,25 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Device-put a pytree fully replicated over the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def global_batch_from_local(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Assemble a global sharded batch from per-process local data.
+
+    Single-process: identical to shard_batch. Multi-host (after
+    initialize_multihost): each host passes its local shard of the global
+    batch and the result is a global jax.Array sharded batch-wise across all
+    hosts' devices — the standard per-host data-loading recipe.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    sharded = batch_sharding(mesh)
+    replicated = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated)
+        return jax.make_array_from_process_local_data(sharded, x)
+
+    return jax.tree.map(put, batch)

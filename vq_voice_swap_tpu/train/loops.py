@@ -37,7 +37,7 @@ from ..diffusion import Diffusion, make_schedule
 from ..diffusion_model import DiffusionModel
 from ..model_base import ModelBase
 from ..observe import Logger, LossTracker
-from ..parallel import create_mesh, replicate, shard_batch
+from ..parallel import create_mesh, global_batch_from_local, replicate
 from ..util import repeat_dataset
 from ..vq import VQLossConfig
 from ..vq_vae import VQVAE
@@ -146,7 +146,10 @@ class TrainLoop(ABC):
         rng = jax.random.fold_in(
             jax.random.key(self.rng_seed), self.total_steps
         )
-        device_batch = shard_batch(self.mesh, self.prepare_batch(batch))
+        # Per-host local batch -> global sharded batch (multi-host safe).
+        device_batch = global_batch_from_local(
+            self.mesh, self.prepare_batch(batch)
+        )
         self.state, metrics = self.train_step(
             self.state, device_batch, rng, self.frozen_ctx
         )
