@@ -1,10 +1,16 @@
-"""Speaker conversion: encode a clip, decode with a target speaker label.
+"""Speaker conversion: encode a clip with the VQ-VAE, decode as a target
+speaker.
 
-Capability parity with /root/reference/sample_vqvae.py: reads >= N seconds of
-audio, encodes to VQ codes (or raw encoder output with --no-vq), decodes with
---label and constrain=True, optional encoder-predictor gradient guidance, and
---check-vq re-encode consistency reporting. Decoding runs as one jitted
-lax.scan on device.
+Capability parity with /root/reference/sample_vqvae.py: reads >= N seconds
+of audio, encodes to VQ codes (or raw encoder output with --no-vq), decodes
+with --label and constrain=True, optional encoder-predictor gradient
+guidance (--enc-pred-path/--enc-pred-scale), and --check-vq re-encode
+consistency reporting. The whole reverse process runs as one jitted lax.scan
+on device.
+
+Example:
+    python sample_vqvae.py --label 3 --sample-steps 100 \
+        --input-file speech.wav ckpt_vqvae/model.npz converted.wav
 """
 
 import argparse
@@ -16,6 +22,36 @@ import numpy as np
 from vq_voice_swap_tpu.classifier_model import EncoderPredictorModel
 from vq_voice_swap_tpu.data import ChunkReader, ChunkWriter
 from vq_voice_swap_tpu.vq_vae import VQVAE
+
+
+def read_input(args) -> jnp.ndarray:
+    with ChunkReader(
+        args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
+    ) as reader:
+        chunk = reader.read(args.seconds * args.sample_rate)
+    return jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
+
+
+def convert(args, model, variables, enc_pred, in_seq):
+    """Encode -> decode with the target label; returns (audio, codes)."""
+    if args.no_vq:
+        encoded = model.encode_raw(variables, in_seq)
+    else:
+        encoded = model.encode(variables, in_seq)
+
+    labels = jnp.asarray([args.label], dtype=jnp.int32)
+    decode = jax.jit(
+        lambda v, codes, lab, rng: model.decode(
+            v, codes, rng,
+            labels=lab,
+            steps=args.sample_steps,
+            constrain=True,
+            enc_pred=enc_pred,
+            enc_pred_scale=args.enc_pred_scale,
+        )
+    )
+    audio = decode(variables, encoded, labels, jax.random.key(args.seed))
+    return audio, encoded
 
 
 def main():
@@ -32,30 +68,10 @@ def main():
         enc_pred = (ep_model.module, ep_vars)
 
     print(f"loading waveform from {args.input_file}...")
-    with ChunkReader(
-        args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
-    ) as reader:
-        chunk = reader.read(args.seconds * args.sample_rate)
-    in_seq = jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
+    in_seq = read_input(args)
 
-    print("encoding audio sequence...")
-    if args.no_vq:
-        encoded = model.encode_raw(variables, in_seq)
-    else:
-        encoded = model.encode(variables, in_seq)
-
-    print("decoding audio samples...")
-    labels = jnp.asarray([args.label], dtype=jnp.int32)
-    sample = jax.jit(
-        lambda v, codes, lab, rng: model.decode(
-            v, codes, rng,
-            labels=lab,
-            steps=args.sample_steps,
-            constrain=True,
-            enc_pred=enc_pred,
-            enc_pred_scale=args.enc_pred_scale,
-        )
-    )(variables, encoded, labels, jax.random.key(args.seed))
+    print("encoding and decoding...")
+    sample, encoded = convert(args, model, variables, enc_pred, in_seq)
 
     if args.check_vq:
         assert not args.no_vq
