@@ -33,7 +33,7 @@ def render(log_file: str, out_file: str, smoothing: int, max_y: float):
     fig.savefig(out_file)
 
 
-def main():
+def arg_parser():
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
@@ -41,7 +41,11 @@ def main():
     parser.add_argument("--max-y", type=float, default=1.0)
     parser.add_argument("log_file", type=str)
     parser.add_argument("out_file", type=str)
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = arg_parser().parse_args()
     render(args.log_file, args.out_file, args.smoothing, args.max_y)
 
 

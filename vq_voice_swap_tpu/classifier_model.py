@@ -6,7 +6,7 @@ predictor's down path (/root/reference/vq_voice_swap/models/classifier.py:
 (/root/reference/vq_voice_swap/models/encoder_predictor.py:15-71).
 """
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ import importlib
 import os
 import subprocess
 import sys
-from typing import Optional
+
 
 import numpy as np
 

@@ -10,7 +10,7 @@ rebuilds the wrapper from any registered class; ``load_from_pretrained``
 copies the path-intersection of parameters and returns the scalar count.
 """
 
-from typing import Any, Dict, Optional, Tuple, Type
+from typing import Any, Dict, Tuple, Type
 
 import jax
 

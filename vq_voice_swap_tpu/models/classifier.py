@@ -13,7 +13,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import Conv1d, GroupNorm, ResBlock, TimeEmbedding, gelu, scaled_init
+from .layers import Conv1d, GroupNorm, ResBlock, TimeEmbedding, gelu
 
 __all__ = ["Classifier", "ClassifierStem", "AttentionPool1d"]
 

@@ -13,10 +13,9 @@ torch.utils.checkpoint, and an optional bfloat16 compute dtype with float32
 params.
 """
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .layers import (

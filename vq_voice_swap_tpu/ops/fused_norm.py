@@ -22,7 +22,7 @@ falls back to the reference implementation.
 """
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

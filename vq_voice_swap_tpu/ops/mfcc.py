@@ -12,7 +12,6 @@ Semantics follow torchaudio defaults: center=True reflect padding, win_length
 filterbank norm, and DCT-II with ortho normalisation.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax.numpy as jnp
