@@ -306,6 +306,54 @@ def test_checkpoint_file_conversion(tmp_path):
     )
 
 
+def test_vqvae_checkpoint_conversion(tmp_path):
+    """Convert a full torch VQVAE checkpoint (wavegrad encoder + predictor +
+    VQ codebook) and verify encode() agrees with the torch model."""
+    import os
+
+    from vq_voice_swap.vq_vae import VQVAE as TorchVQVAE
+
+    torch.manual_seed(11)
+    tm = TorchVQVAE(
+        base_channels=2,
+        pred_name="wavegrad",
+        enc_name="wavegrad",
+        cond_mult=4,
+        dictionary_size=8,
+        num_labels=3,
+    )
+    tm.eval()
+    pt_path = os.path.join(tmp_path, "vqvae.pt")
+    torch.save(
+        {"kwargs": tm.save_kwargs(), "state_dict": tm.state_dict()}, pt_path
+    )
+
+    from vq_voice_swap_tpu.convert import convert_torch_checkpoint
+    from vq_voice_swap_tpu.vq_vae import VQVAE
+
+    npz_path = os.path.join(tmp_path, "vqvae.npz")
+    class_name, kwargs = convert_torch_checkpoint(pt_path, npz_path)
+    assert class_name == "VQVAE"
+
+    model, variables = VQVAE.load(npz_path)
+    assert model.dictionary_size == 8 and model.cond_mult == 4
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(2, 1, 256).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want_codes = tm.encode(torch.from_numpy(x)).numpy()
+    got_codes = np.asarray(
+        model.encode(variables, jnp.asarray(np.transpose(x, (0, 2, 1))))
+    )
+    np.testing.assert_array_equal(got_codes, want_codes)
+
+    # usage_count buffer carried over.
+    np.testing.assert_array_equal(
+        np.asarray(variables["buffers"]["vq"]["usage_count"]),
+        tm.vq.usage_count.numpy(),
+    )
+
+
 def test_classifier_parity():
     from vq_voice_swap.models.classifier import Classifier as TorchClf
 
