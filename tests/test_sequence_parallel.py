@@ -1,0 +1,112 @@
+"""Sequence-parallel ops must match their unsharded equivalents exactly
+(8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vq_voice_swap_tpu.parallel.sequence import (
+    SEQ_AXIS,
+    create_seq_mesh,
+    seq_sharded_avg_pool,
+    seq_sharded_conv1d,
+    seq_sharded_group_norm,
+    seq_sharded_upsample,
+)
+
+
+def _sharded(mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P(None, SEQ_AXIS, None)))
+
+
+def _reference_conv(x, kernel, bias, stride=1, dilation=1):
+    pad = (kernel.shape[0] - 1) * dilation // 2
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding=[(pad, pad)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return out + bias
+
+
+def test_seq_conv_matches_unsharded():
+    mesh = create_seq_mesh()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 4), dtype=jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 4, 8), dtype=jnp.float32)
+    bias = jnp.asarray(rng.randn(8), dtype=jnp.float32)
+
+    want = _reference_conv(x, kernel, bias)
+    got = seq_sharded_conv1d(mesh, _sharded(mesh, x), kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_seq_conv_dilated_matches():
+    mesh = create_seq_mesh()
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 128, 4), dtype=jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 4, 4), dtype=jnp.float32)
+    bias = jnp.zeros((4,), jnp.float32)
+    for dilation in (2, 4, 8):
+        want = _reference_conv(x, kernel, bias, dilation=dilation)
+        got = seq_sharded_conv1d(
+            mesh, _sharded(mesh, x), kernel, bias, dilation=dilation
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_seq_group_norm_matches():
+    mesh = create_seq_mesh()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 64, 8), dtype=jnp.float32)
+    scale = jnp.asarray(rng.rand(8), jnp.float32)
+    bias = jnp.asarray(rng.randn(8), jnp.float32)
+
+    from vq_voice_swap_tpu.ops.fused_norm import reference_group_norm
+
+    want = reference_group_norm(x, scale, bias, 4, 1e-5, False)
+    got = seq_sharded_group_norm(mesh, _sharded(mesh, x), scale, bias, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_seq_pool_and_upsample():
+    mesh = create_seq_mesh()
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 64, 4), dtype=jnp.float32)
+
+    pooled = seq_sharded_avg_pool(mesh, _sharded(mesh, x), 2)
+    want = jnp.mean(jnp.reshape(x, (1, 32, 2, 4)), axis=2)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want),
+                               atol=1e-6)
+
+    up = seq_sharded_upsample(mesh, _sharded(mesh, x), 2)
+    np.testing.assert_allclose(
+        np.asarray(up), np.asarray(jnp.repeat(x, 2, axis=1)), atol=1e-6
+    )
+
+
+def test_seq_conv_stack_jits_end_to_end():
+    """A small conv->norm->pool pyramid over the sharded time axis, jitted
+    as one program."""
+    mesh = create_seq_mesh()
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 128, 4), dtype=jnp.float32)
+    k1 = jnp.asarray(rng.randn(3, 4, 8) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.randn(3, 8, 8) * 0.1, jnp.float32)
+    scale = jnp.ones((8,), jnp.float32)
+    bias = jnp.zeros((8,), jnp.float32)
+
+    @jax.jit
+    def stack(x):
+        h = seq_sharded_conv1d(mesh, x, k1, None)
+        h = seq_sharded_group_norm(mesh, h, scale, bias, 4)
+        h = seq_sharded_avg_pool(mesh, h, 2)
+        h = seq_sharded_conv1d(mesh, h, k2, None, dilation=2)
+        return seq_sharded_upsample(mesh, h, 2)
+
+    out = stack(_sharded(mesh, x))
+    assert out.shape == (1, 128, 8)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -1,0 +1,200 @@
+"""Sequence (time-axis) parallelism for 1-D audio models.
+
+The reference is bounded to 4 s clips; SURVEY.md §5.7 flags time-axis
+sharding as the TPU-native path to minutes-long audio. This module provides
+the building blocks: convolutions and pooling/upsampling over a T-sharded
+[N, T, C] array inside ``shard_map``, with halo exchange over the mesh via
+``jax.lax.ppermute`` (neighbor transfers ride the ICI ring), and
+cross-shard GroupNorm statistics via ``psum``.
+
+Usage pattern (see tests/test_sequence_parallel.py):
+
+    mesh = create_mesh()
+    y = seq_sharded_conv1d(mesh, x, kernel, bias, dilation=2)
+
+Each device holds T/n_devices timesteps; a k-wide dilated conv needs
+(k-1)//2 * dilation halo samples from each neighbor, exchanged with two
+ppermutes; edge shards zero-pad, reproducing SAME-conv semantics exactly.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+__all__ = [
+    "SEQ_AXIS",
+    "create_seq_mesh",
+    "halo_exchange",
+    "seq_sharded_conv1d",
+    "seq_sharded_group_norm",
+    "seq_sharded_avg_pool",
+    "seq_sharded_upsample",
+]
+
+SEQ_AXIS = "seq"
+
+
+def create_seq_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """A 1-D mesh over the time axis (sequence parallelism)."""
+    import numpy as np
+
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (SEQ_AXIS,))
+
+
+def halo_exchange(x: jnp.ndarray, left: int, right: int,
+                  axis_name: str = SEQ_AXIS) -> jnp.ndarray:
+    """Pad a local [N, Tl, C] shard with neighbor halos (zeros at the ends).
+
+    Runs inside shard_map. ``left``/``right`` are the halo widths needed
+    before/after the local block.
+    """
+    size = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    parts = []
+    if left:
+        # Receive the last `left` samples of the left neighbor.
+        send_right = [(i, (i + 1) % size) for i in range(size)]
+        from_left = jax.lax.ppermute(
+            x[:, -left:, :], axis_name, perm=send_right
+        )
+        from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+        parts.append(from_left)
+    parts.append(x)
+    if right:
+        send_left = [(i, (i - 1) % size) for i in range(size)]
+        from_right = jax.lax.ppermute(
+            x[:, :right, :], axis_name, perm=send_left
+        )
+        from_right = jnp.where(
+            idx == size - 1, jnp.zeros_like(from_right), from_right
+        )
+        parts.append(from_right)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _local_conv1d(x, kernel, bias, stride, dilation):
+    """VALID 1-D conv over [N, T, C] with kernel [K, Cin, Cout]."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def seq_sharded_conv1d(
+    mesh: Mesh,
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """SAME conv1d over a T-sharded global array.
+
+    x: [N, T, C] sharded as P(None, SEQ_AXIS, None); kernel [K, Cin, Cout]
+    replicated. The local T must be divisible by stride.
+    """
+    k = kernel.shape[0]
+    halo = (k - 1) * dilation // 2
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, SEQ_AXIS, None), P(None, None, None),
+                  P(None) if bias is not None else P(None)),
+        out_specs=P(None, SEQ_AXIS, None),
+    )
+    def run(x_local, kernel, bias):
+        padded = halo_exchange(x_local, halo, halo)
+        return _local_conv1d(padded, kernel, bias, stride, dilation)
+
+    if bias is None:
+        bias = jnp.zeros((kernel.shape[-1],), dtype=x.dtype)
+    return run(x, kernel, bias)
+
+
+def seq_sharded_group_norm(
+    mesh: Mesh,
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """GroupNorm over a T-sharded array: per-group statistics combine across
+    shards with a psum, matching the unsharded op exactly."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, SEQ_AXIS, None), P(None), P(None)),
+        out_specs=P(None, SEQ_AXIS, None),
+    )
+    def run(x_local, scale, bias):
+        n, tl, c = x_local.shape
+        xf = x_local.astype(jnp.float32)
+        grouped = jnp.reshape(xf, (n, tl, num_groups, c // num_groups))
+        local_sum = jnp.sum(grouped, axis=(1, 3))  # [N, G]
+        local_sq = jnp.sum(jnp.square(grouped), axis=(1, 3))
+        total_sum = jax.lax.psum(local_sum, SEQ_AXIS)
+        total_sq = jax.lax.psum(local_sq, SEQ_AXIS)
+        count = tl * jax.lax.axis_size(SEQ_AXIS) * (c // num_groups)
+        mean = total_sum / count
+        var = total_sq / count - jnp.square(mean)
+        inv = jax.lax.rsqrt(var + eps)
+        normed = (grouped - mean[:, None, :, None]) * inv[:, None, :, None]
+        normed = jnp.reshape(normed, (n, tl, c))
+        out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return out.astype(x_local.dtype)
+
+    return run(x, scale, bias)
+
+
+def seq_sharded_avg_pool(mesh: Mesh, x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Non-overlapping average pool over the T axis of a T-sharded array.
+
+    Requires the local T to be divisible by factor (window boundaries align
+    with shard boundaries), which holds for power-of-two pyramids on
+    power-of-two meshes.
+    """
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=P(None, SEQ_AXIS, None), out_specs=P(None, SEQ_AXIS, None),
+    )
+    def run(x_local):
+        n, tl, c = x_local.shape
+        return jnp.mean(
+            jnp.reshape(x_local, (n, tl // factor, factor, c)), axis=2
+        )
+
+    return run(x)
+
+
+def seq_sharded_upsample(mesh: Mesh, x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Nearest-neighbor upsample over the T axis of a T-sharded array."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=P(None, SEQ_AXIS, None), out_specs=P(None, SEQ_AXIS, None),
+    )
+    def run(x_local):
+        return jnp.repeat(x_local, factor, axis=1)
+
+    return run(x)
