@@ -306,6 +306,29 @@ def test_checkpoint_file_conversion(tmp_path):
     )
 
 
+def test_direct_pt_load(tmp_path):
+    """ModelBase.load must accept a reference torch .pt file directly."""
+    import os
+
+    from vq_voice_swap.diffusion_model import DiffusionModel as TorchDM
+
+    torch.manual_seed(21)
+    tdm = TorchDM(pred_name="wavegrad", base_channels=2)
+    pt_path = os.path.join(tmp_path, "model.pt")
+    torch.save(
+        {"kwargs": tdm.save_kwargs(), "state_dict": tdm.state_dict()}, pt_path
+    )
+
+    from vq_voice_swap_tpu.model_base import ModelBase
+
+    model, variables = ModelBase.load(pt_path)
+    assert model.pred_name == "wavegrad"
+    out = model.predict_eps(
+        variables, jnp.zeros((1, 128, 1)), jnp.asarray([0.5])
+    )
+    assert out.shape == (1, 128, 1)
+
+
 def test_vqvae_checkpoint_conversion(tmp_path):
     """Convert a full torch VQVAE checkpoint (wavegrad encoder + predictor +
     VQ codebook) and verify encode() agrees with the torch model."""

@@ -60,9 +60,47 @@ def build_model(class_name: str, kwargs: Dict[str, Any]) -> "ModelBase":
     return _REGISTRY[class_name](**kwargs)
 
 
+def _load_any_checkpoint(path: str):
+    """Load an npz checkpoint, transparently converting reference PyTorch
+    .pt checkpoints on the fly (torch required for those)."""
+    try:
+        return load_checkpoint(path)
+    except Exception as npz_err:  # not our npz format — maybe a torch file
+        try:
+            import io
+
+            import torch
+
+            from .convert.torch_import import (
+                _translate_kwargs,
+                convert_state_dict,
+            )
+
+            state = torch.load(path, map_location="cpu", weights_only=False)
+            kwargs = state["kwargs"]
+            sd = {k: v.numpy() for k, v in state["state_dict"].items()}
+            if any(k.startswith("vq.") for k in sd):
+                class_name = "VQVAE"
+            elif any(k.startswith("stem.") for k in sd):
+                class_name = "Classifier"
+            elif any(k.startswith("unet.") for k in sd):
+                class_name = "EncoderPredictor"
+            else:
+                class_name = "DiffusionModel"
+            variables = convert_state_dict(class_name, kwargs, sd)
+            registry_name = {
+                "Classifier": "ClassifierModel",
+                "EncoderPredictor": "EncoderPredictorModel",
+            }.get(class_name, class_name)
+            return registry_name, _translate_kwargs(class_name, kwargs), \
+                variables, {}
+        except Exception:
+            raise npz_err
+
+
 def load_model(path: str) -> Tuple["ModelBase", Dict[str, Any]]:
     """Load any registered model: (wrapper, variables)."""
-    class_name, kwargs, variables, _ = load_checkpoint(path)
+    class_name, kwargs, variables, _ = _load_any_checkpoint(path)
     return build_model(class_name, kwargs), variables
 
 
@@ -84,8 +122,10 @@ class ModelBase:
     @classmethod
     def load(cls, path: str) -> Tuple["ModelBase", Dict[str, Any]]:
         """Load from a checkpoint; the class is taken from the manifest but
-        must be cls or a subclass when called on a concrete class."""
-        class_name, kwargs, variables, _ = load_checkpoint(path)
+        must be cls or a subclass when called on a concrete class.
+
+        Reference PyTorch .pt checkpoints are converted transparently."""
+        class_name, kwargs, variables, _ = _load_any_checkpoint(path)
         _ensure_registered()
         model_cls = _REGISTRY.get(class_name)
         if model_cls is None:
