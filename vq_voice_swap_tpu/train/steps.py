@@ -90,15 +90,13 @@ def make_train_step(
             (grads, loss), aux_stack = jax.lax.scan(
                 body, (zero_grads, 0.0), (keys, micro)
             )
-            # Re-flatten stacked per-microbatch aux back to full-batch shape.
-            aux = {}
-            for k, v in aux_stack.items():
-                if k == "extra":
-                    aux[k] = jax.tree.map(jnp.mean, v)
-                elif k == "enc_flat":
-                    aux[k] = jnp.reshape(v, (-1,) + v.shape[2:])
-                else:
-                    aux[k] = jnp.reshape(v, (-1,) + v.shape[2:])
+            # Re-flatten stacked per-microbatch aux back to full-batch shape;
+            # scalar extras average across microbatches (equal weights).
+            aux = {
+                k: (jax.tree.map(jnp.mean, v) if k == "extra"
+                    else jnp.reshape(v, (-1,) + v.shape[2:]))
+                for k, v in aux_stack.items()
+            }
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
