@@ -83,11 +83,16 @@ def main():
         )
 
     def sample_labels(rng, batch):
-        if model.num_labels is None:
+        # Guidance labels come from the classifier when the diffusion model
+        # itself is unconditional (reference sample_diffusion.py semantics).
+        num_labels = model.num_labels
+        if num_labels is None and classifier is not None:
+            num_labels = classifier.num_labels
+        if num_labels is None:
             return None
         if args.target_class is not None:
             return jnp.full((batch,), args.target_class, dtype=jnp.int32)
-        return jax.random.randint(rng, (batch,), 0, model.num_labels)
+        return jax.random.randint(rng, (batch,), 0, num_labels)
 
     root = jax.random.key(args.seed)
     if args.num_samples is None:
