@@ -88,6 +88,31 @@ def test_seq_pool_and_upsample():
     )
 
 
+def test_seq_parallel_unet_encoder_matches_unsharded():
+    """The time-sharded UNetEncoder must reproduce the single-chip encoder
+    bit-for-bit (same checkpoint params)."""
+    from vq_voice_swap_tpu.models import UNetEncoder
+    from vq_voice_swap_tpu.parallel.sequence import seq_parallel_unet_encoder
+
+    enc = UNetEncoder(
+        base_channels=4, channel_mult=(1, 2), depth_mult=1,
+        out_channels=8, out_dilations=(2,),
+    )
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 256, 1), dtype=jnp.float32)
+    variables = jax.jit(lambda r: enc.init(r, x))(jax.random.key(0))
+
+    want = np.asarray(jax.jit(lambda v: enc.apply(v, x))(variables))
+
+    mesh = create_seq_mesh()
+    got = np.asarray(
+        jax.jit(
+            lambda p, xx: seq_parallel_unet_encoder(mesh, enc, p, xx)
+        )(variables["params"], _sharded(mesh, x))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
 def test_seq_conv_stack_jits_end_to_end():
     """A small conv->norm->pool pyramid over the sharded time axis, jitted
     as one program."""

@@ -35,6 +35,7 @@ __all__ = [
     "seq_sharded_group_norm",
     "seq_sharded_avg_pool",
     "seq_sharded_upsample",
+    "seq_parallel_unet_encoder",
 ]
 
 SEQ_AXIS = "seq"
@@ -198,3 +199,90 @@ def seq_sharded_upsample(mesh: Mesh, x: jnp.ndarray, factor: int) -> jnp.ndarray
         return jnp.repeat(x_local, factor, axis=1)
 
     return run(x)
+
+
+# --------------------------------------------------------- model execution
+
+
+def _adaptive_groups(ch: int, max_groups: int = 32) -> int:
+    g = max_groups
+    while ch % g:
+        g //= 2
+    return g
+
+
+def _seq_conv_from_params(mesh, x, conv_params, stride=1, dilation=1):
+    return seq_sharded_conv1d(
+        mesh, x, conv_params["kernel"], conv_params.get("bias"),
+        stride=stride, dilation=dilation,
+    )
+
+
+def _seq_norm(mesh, x, norm_params, use_gelu):
+    out = seq_sharded_group_norm(
+        mesh, x, norm_params["scale"], norm_params["bias"],
+        _adaptive_groups(x.shape[-1]),
+    )
+    if use_gelu:
+        out = jax.nn.gelu(out, approximate=False)
+    return out
+
+
+def _seq_resblock(mesh, x, params, scale_factor=1.0, dilation=2):
+    """Run models/layers.py::ResBlock (no embedding) from its params tree
+    over a T-sharded activation."""
+    h = _seq_norm(mesh, x, params["norm_in"]["norm"], use_gelu=True)
+    if scale_factor == 0.5:
+        h = seq_sharded_avg_pool(mesh, h, 2)
+    elif scale_factor == 2.0:
+        h = seq_sharded_upsample(mesh, h, 2)
+    h = _seq_conv_from_params(mesh, h, params["conv_in"]["conv"])
+    h = _seq_norm(mesh, h, params["norm_mid"]["norm"], use_gelu=False)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _seq_conv_from_params(
+        mesh, h, params["conv_out"]["conv"], dilation=dilation
+    )
+
+    skip = x
+    if scale_factor == 0.5:
+        skip = seq_sharded_avg_pool(mesh, skip, 2)
+    elif scale_factor == 2.0:
+        skip = seq_sharded_upsample(mesh, skip, 2)
+    if "skip_proj" in params:
+        skip = _seq_conv_from_params(mesh, skip, params["skip_proj"]["conv"])
+    return skip + h
+
+
+def seq_parallel_unet_encoder(mesh, encoder, params, x):
+    """Run a models/unet.py::UNetEncoder over a time-sharded waveform.
+
+    encoder: the UNetEncoder module (for its static topology config).
+    params: its params tree (same checkpoint weights as single-chip use).
+    x: [N, T, 1] sharded P(None, SEQ_AXIS, None); T/n_shards must stay
+       divisible through the pooling pyramid and larger than the widest
+       dilation halo.
+
+    This is the minutes-long-audio path (SURVEY §5.7): each chip holds a
+    slice of the waveform; convs exchange halos over ICI and GroupNorm
+    statistics psum across the mesh, producing bit-consistent results with
+    the unsharded encoder.
+    """
+    h = _seq_conv_from_params(mesh, x, params["in_conv"]["conv"])
+
+    bi = 0
+    for depth, mult in enumerate(encoder.channel_mult):
+        for _ in range(encoder.depth_mult):
+            h = _seq_resblock(mesh, h, params[f"blocks_{bi}"])
+            bi += 1
+        if depth != len(encoder.channel_mult) - 1:
+            h = _seq_resblock(
+                mesh, h, params[f"blocks_{bi}"], scale_factor=0.5
+            )
+            bi += 1
+    for d in encoder.out_dilations:
+        h = _seq_resblock(mesh, h, params[f"blocks_{bi}"], dilation=d)
+        bi += 1
+
+    h = _seq_norm(mesh, h, params["out_norm"]["norm"], use_gelu=True)
+    h = _seq_conv_from_params(mesh, h, params["out_conv"]["conv"])
+    return h.astype(jnp.float32)
