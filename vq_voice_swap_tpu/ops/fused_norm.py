@@ -1,24 +1,23 @@
-"""Fused Pallas GroupNorm (+ optional GELU) for [N, T, C] activations.
+"""Experimental Pallas GroupNorm (+ optional GELU) for [N, T, C] activations.
 
-Profiling the unet64 forward on v5e shows XLA's GroupNorm statistic
-reductions (convert_reduce_fusion kernels) take ~57% of device time — the
-reduction over the long T axis with tiny per-group channel widths lowers
-badly. This kernel pair fixes it:
+Status: OPT-IN (VVS_FUSED_GROUPNORM=1), measured end-to-end SLOWER than the
+default flax GroupNorm inside the full UNet and therefore disabled by
+default — see PERF.md for the analysis. Kept because the isolated statistic
+reduction genuinely is the dominant kernel class in the profile
+(convert_reduce_fusion ~57% of forward device time), and a future
+whole-block megakernel will want these pieces.
 
-  1. a stats kernel: tiles over T, accumulating per-channel sum / sum-of-
-     squares in VMEM f32 (one sequential pass, bandwidth-limited);
-  2. an apply kernel: y = [gelu](x * A + B) with per-(sample, channel)
-     A = scale * rsqrt(var + eps), B = bias - mean * A folded in — one read,
-     one write.
+Contents:
+  - a Pallas stats kernel: tiles over T, accumulating per-channel
+    sum / sum-of-squares in VMEM f32 (single sequential pass);
+  - per-group statistics + folded affine in plain XLA (tiny [N, C] work);
+  - normalize + exact GELU in XLA so they keep fusing with neighbors
+    (a Pallas apply kernel, kept below for reference, measured worse);
+  - a custom VJP whose backward differentiates the reference XLA
+    implementation, so the op is trainable either way.
 
-Group statistics from the per-channel sums are computed between the two
-kernels in plain XLA (tiny [N, C] arrays). Semantics match
-flax.linen.GroupNorm(num_groups, epsilon) followed by exact GELU.
-
-The public op carries a custom VJP whose backward differentiates the
-reference XLA implementation, so training works (fast forward, standard
-backward); sampling/eval get the full win. Off-TPU or for awkward shapes it
-falls back to the reference implementation.
+Semantics match flax.linen.GroupNorm(num_groups, epsilon) followed by exact
+GELU. Off-TPU or for awkward shapes it falls back to the XLA reference.
 """
 
 import functools
@@ -26,7 +25,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["fused_group_norm", "reference_group_norm", "pick_tile",
            "fused_norm_enabled"]
