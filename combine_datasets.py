@@ -1,6 +1,11 @@
 """Merge several LibriSpeech-like dataset directories into one directory of
-symlinks with a combined index (reference combine_datasets.py); feeds
-train_vqvae_add.py."""
+symlinks with a combined index (capability of reference combine_datasets.py);
+the merged directory feeds train_vqvae_add.py.
+
+Speaker directories from source ``i`` are exposed as ``<i:02>_<speaker>`` so
+label spaces from different sources never collide, matching the reference's
+prefix convention.
+"""
 
 import argparse
 import json
@@ -8,6 +13,24 @@ import os
 import sys
 
 from vq_voice_swap_tpu.data import LibriSpeech
+
+
+def merge_datasets(sources, output):
+    """Symlink every speaker dir of every source into ``output``.
+
+    Returns the combined duration index (speaker -> file -> seconds).
+    """
+    combined = {}
+    for ordinal, source in enumerate(sources):
+        print(f"indexing dataset {source}...")
+        for speaker, files in LibriSpeech(source).index.items():
+            alias = f"{ordinal:02}_{speaker}"
+            combined[alias] = files
+            os.symlink(
+                os.path.abspath(os.path.join(source, speaker)),
+                os.path.join(output, alias),
+            )
+    return combined
 
 
 def main():
@@ -21,20 +44,9 @@ def main():
         sys.exit(1)
     os.mkdir(args.output)
 
-    combined = {}
-    for i, subdir in enumerate(args.directories):
-        print(f"indexing dataset {subdir}...")
-        dataset = LibriSpeech(subdir)
-        prefix = f"{i:02}_"
-        for speaker_id, entry in dataset.index.items():
-            combined[prefix + speaker_id] = entry
-            os.symlink(
-                os.path.abspath(os.path.join(subdir, speaker_id)),
-                os.path.join(args.output, prefix + speaker_id),
-            )
-
+    index = merge_datasets(args.directories, args.output)
     with open(os.path.join(args.output, "index.json"), "w") as f:
-        json.dump(combined, f)
+        json.dump(index, f)
 
 
 if __name__ == "__main__":

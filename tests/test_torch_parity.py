@@ -410,3 +410,76 @@ def test_classifier_parity():
         )(params)
     )
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_mfcc_encoder_converter_parity():
+    """Numerical test for _map_mfcc_encoder (convert/torch_import.py).
+
+    The reference ConvMFCCEncoder cannot be instantiated here (torchaudio is
+    absent), so this rebuilds its conv stack (reference
+    conv_encoder.py:60-85 topology, exact state_dict names) in torch, feeds
+    it float64 golden MFCC features (tests/mfcc_reference.py, golden-tested
+    in test_mfcc.py), and checks the converted flax encoder reproduces the
+    full waveform->codes-features path end to end.
+    """
+    import torch.nn as tnn
+
+    from mfcc_reference import mfcc_features_numpy
+
+    base_channels, out_channels = 2, 6
+    mid = base_channels * 12
+
+    class ResConv(tnn.Module):  # reference conv_encoder.py:112-120
+        def __init__(self, *args, **kwargs):
+            super().__init__()
+            self.conv = tnn.Conv1d(*args, **kwargs)
+
+        def forward(self, x):
+            return x + torch.nn.functional.gelu(self.conv(x))
+
+    torch.manual_seed(11)
+    blocks = tnn.ModuleList(
+        [
+            tnn.Sequential(tnn.Conv1d(39, mid, 3, padding=1), tnn.GELU()),
+            ResConv(mid, mid, 3, padding=1),
+            tnn.Sequential(tnn.Conv1d(mid, mid, 4, stride=2, padding=1), tnn.GELU()),
+            ResConv(mid, mid, 3, padding=1),
+            ResConv(mid, mid, 3, padding=1),
+            *[ResConv(mid, mid, 1) for _ in range(4)],
+            tnn.Conv1d(mid, out_channels, 1),
+        ]
+    )
+    # Unlike the real encoder the final conv stays random here, so the
+    # mapping of out_conv is actually exercised numerically.
+    blocks = blocks.double().eval()
+
+    rng = np.random.RandomState(7)
+    wav = np.clip(0.4 * rng.randn(2, 800), -1, 1)
+
+    # Torch side: float64 numpy frontend + torch conv stack.
+    feats = mfcc_features_numpy(wav, version=1, input_ulaw=True)  # [N, T', 39]
+    with torch.no_grad():
+        h = torch.from_numpy(np.transpose(feats, (0, 2, 1)))
+        for block in blocks:
+            h = block(h)
+        want = h.numpy()  # [N, C, T1]
+
+    # Ours: converted params + full jitted encoder from the raw waveform.
+    sd = {f"encoder.blocks.{k}": v for k, v in _to_numpy_sd(blocks).items()}
+    variables = convert_state_dict(
+        "VQVAE", {"pred_name": "unet", "enc_name": "conv-mfcc-ulaw"}, sd
+    )
+
+    from vq_voice_swap_tpu.models import ConvMFCCEncoder
+
+    jm = ConvMFCCEncoder(base_channels=base_channels, out_channels=out_channels)
+    got = np.asarray(
+        jax.jit(
+            lambda p: jm.apply(
+                {"params": p}, jnp.asarray(wav[:, :, None], dtype=jnp.float32)
+            )
+        )(variables["params"]["encoder"])
+    )
+    np.testing.assert_allclose(
+        got, np.transpose(want, (0, 2, 1)), atol=5e-4, rtol=5e-4
+    )

@@ -5,41 +5,83 @@ the form ``step N: k=v k=v ...``, a ``# saved`` sentinel after each
 checkpoint, and on resume the log is truncated back to the last sentinel so
 metrics stay consistent with the restored step; ``start_step`` exposes where
 the resumed run left off.
+
+Implementation note: resume is a single forward scan that remembers the byte
+offset just past the most recent sentinel and the last step number seen
+before it, then truncates the file in place — the log is never rewritten.
 """
 
+import re
 from typing import Any, Dict, Iterator, TextIO, Tuple, Union
 
 __all__ = ["Logger", "read_log", "SAVED_MSG"]
 
 SAVED_MSG = "# saved\n"
 
+_STEP_LINE = re.compile(r"^step (\d+): (.*)$")
+
+
+def _parse_step_line(line: str) -> Tuple[int, Dict[str, float]]:
+    """Parse ``step N: k=v k=v`` into (N, {k: v}); raises ValueError."""
+    m = _STEP_LINE.match(line)
+    if m is None:
+        raise ValueError(f"not a step line: {line!r}")
+    fields: Dict[str, float] = {}
+    for token in m.group(2).split(" "):
+        key, _, value = token.partition("=")
+        if not _:
+            raise ValueError(f"bad field {token!r}")
+        fields[key] = float(value)
+    return int(m.group(1)), fields
+
 
 def read_log(
     source: Union[str, TextIO],
 ) -> Iterator[Tuple[int, Dict[str, Any]]]:
-    """Iterate (step, {key: float}) entries of a log file."""
+    """Iterate (step, {key: float}) entries of a log file.
+
+    Comment lines (``# ...``) are skipped; iteration stops at the first
+    blank line; malformed lines raise with their 1-based line number.
+    """
     if isinstance(source, str):
         with open(source, "rt") as f:
             yield from read_log(f)
             return
-    for line_idx, raw in enumerate(source, start=1):
-        line = raw.rstrip()
-        if not line:
-            break
-        if line.startswith("#"):
+    for line_no, raw in enumerate(source, start=1):
+        stripped = raw.rstrip()
+        if not stripped:
+            return
+        if stripped[0] == "#":
             continue
         try:
-            if not line.startswith("step "):
-                raise ValueError
-            step_str, kv_str = line[len("step "):].split(": ")
-            step = int(step_str)
-            kvs = {}
-            for pair in kv_str.split(" "):
-                key, value = pair.split("=")
-                kvs[key] = float(value)
+            yield _parse_step_line(stripped)
         except ValueError:
-            raise ValueError(f"unexpected log format at line {line_idx}")
-        yield step, kvs
+            raise ValueError(f"unexpected log format at line {line_no}")
+
+
+def _scan_resume_point(path: str) -> Tuple[int, int]:
+    """One byte-exact pass over a log file: (resume_step, keep_bytes).
+
+    ``keep_bytes`` is the offset just past the last ``# saved`` sentinel,
+    and ``resume_step`` the last step number logged at or before it. If no
+    sentinel exists, the whole file is kept (legacy logs never marked
+    saves) and the final step wins.
+    """
+    sentinel = SAVED_MSG.encode()
+    step_re = re.compile(rb"^step (\d+):")
+    last_step = 0
+    offset = 0
+    keep = None  # (step, byte offset) at the newest sentinel
+    with open(path, "rb") as f:
+        for raw in f:
+            offset += len(raw)
+            if raw == sentinel:
+                keep = (last_step, offset)
+            else:
+                m = step_re.match(raw)
+                if m is not None:
+                    last_step = int(m.group(1))
+    return keep if keep is not None else (last_step, offset)
 
 
 class Logger:
@@ -47,22 +89,14 @@ class Logger:
 
     def __init__(self, out_filename: str, resume: bool = False):
         self.start_step = 0
-        if resume:
-            with open(out_filename, "rt") as f:
-                lines = f.readlines()
-            if SAVED_MSG in lines:
-                keep = len(lines) - lines[::-1].index(SAVED_MSG)
-                lines = lines[:keep]
-            step_lines = [x for x in lines if x.startswith("step ")]
-            if step_lines:
-                self.start_step = int(
-                    step_lines[-1].split(" ")[1].split(":")[0]
-                )
+        if not resume:
             self.out_file = open(out_filename, "w+")
-            self.out_file.write("".join(lines))
-            self.out_file.flush()
-        else:
-            self.out_file = open(out_filename, "w+")
+            return
+        step, keep_bytes = _scan_resume_point(out_filename)
+        self.start_step = step
+        self.out_file = open(out_filename, "r+")
+        self.out_file.seek(keep_bytes)
+        self.out_file.truncate()
 
     def log(self, step: int, **kwargs):
         fields = " ".join(f"{k}={v:.05f}" for k, v in kwargs.items())
