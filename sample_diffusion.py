@@ -33,7 +33,9 @@ def main():
     args = arg_parser().parse_args()
     warp = make_warp(args.schedule)
 
-    model, variables = DiffusionModel.load(args.checkpoint_path)
+    model, variables = DiffusionModel.load(
+        args.checkpoint_path, dtype="bfloat16" if args.bf16 else None
+    )
 
     classifier = None
     clf_vars = None
@@ -144,6 +146,8 @@ def arg_parser():
                         help="named time warp: linear|quadratic|sqrt|pow:X")
     parser.add_argument("--encoding", default="linear", type=str)
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--bf16", action="store_true",
+                        help="compute in bfloat16 (params stay float32)")
     return parser
 
 

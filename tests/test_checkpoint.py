@@ -84,6 +84,7 @@ def _tiny_dm(**kw):
     )
 
 
+@pytest.mark.slow
 def test_diffusion_model_save_load(tmp_path):
     model = _tiny_dm()
     variables = model.init_variables(jax.random.key(0), seq_len=128)
@@ -100,6 +101,7 @@ def test_diffusion_model_save_load(tmp_path):
     assert isinstance(any_model, DiffusionModel)
 
 
+@pytest.mark.slow
 def test_label_surgery():
     model = _tiny_dm()
     variables = model.init_variables(jax.random.key(0), seq_len=128)
@@ -133,6 +135,7 @@ def test_label_surgery():
         )
 
 
+@pytest.mark.slow
 def test_load_from_pretrained_partial(tmp_path):
     model = _tiny_dm()
     v1 = model.init_variables(jax.random.key(0), seq_len=128)

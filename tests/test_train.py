@@ -58,6 +58,7 @@ def _diffusion_args(tmp_path, extra=()):
     )
 
 
+@pytest.mark.slow
 def test_diffusion_train_loop_end_to_end(tmp_path, monkeypatch):
     _patch_loader(monkeypatch)
     loop = DiffusionTrainLoop(_diffusion_args(tmp_path))
@@ -84,6 +85,7 @@ def test_diffusion_train_loop_end_to_end(tmp_path, monkeypatch):
     assert "step 3:" in log
 
 
+@pytest.mark.slow
 def test_diffusion_train_loop_microbatch(tmp_path, monkeypatch):
     _patch_loader(monkeypatch)
     args = _diffusion_args(tmp_path, extra=("--microbatch", "4"))
@@ -93,6 +95,7 @@ def test_diffusion_train_loop_microbatch(tmp_path, monkeypatch):
     assert "step 1:" in log
 
 
+@pytest.mark.slow
 def test_vqvae_train_loop_end_to_end(tmp_path, monkeypatch):
     _patch_loader(monkeypatch)
     args = VQVAETrainLoop.arg_parser().parse_args(

@@ -92,6 +92,7 @@ def test_classifier_train_loop(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(tmp_path, "model.npz"))
 
 
+@pytest.mark.slow
 def test_enc_pred_train_loop(tmp_path, monkeypatch):
     _patch_loader(monkeypatch)
     vq_path = os.path.join(tmp_path, "vqvae.npz")
@@ -144,6 +145,7 @@ def _vqvae_args(cls, tmp_path, pretrained, extra=()):
     )
 
 
+@pytest.mark.slow
 def test_add_classes_loop(tmp_path, monkeypatch):
     _patch_loader(monkeypatch)
     pre_path = os.path.join(tmp_path, "pretrained.npz")
@@ -171,6 +173,7 @@ def test_add_classes_loop(tmp_path, monkeypatch):
             np.testing.assert_array_equal(flat_b[path], flat_a[path])
 
 
+@pytest.mark.slow
 def test_uncond_loop(tmp_path, monkeypatch):
     _patch_loader(monkeypatch)
     pre_path = os.path.join(tmp_path, "pretrained.npz")
@@ -190,6 +193,7 @@ def test_uncond_loop(tmp_path, monkeypatch):
     assert "step 1:" in log
 
 
+@pytest.mark.slow
 def test_vqvae_decode_and_cfg_smoke():
     """decode() and decode_uncond_guidance() compile and produce the right
     shapes on tiny inputs."""

@@ -1,6 +1,8 @@
 """Unit tests for VQ-VAE pieces: jitter regularization and the losses
 contract."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +38,7 @@ def test_jitter_rate_statistics():
     assert 0.2 < frac_moved < 0.4
 
 
+@pytest.mark.slow
 def test_vqvae_losses_contract():
     model = VQVAE(
         pred_name="wavegrad",

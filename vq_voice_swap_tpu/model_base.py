@@ -10,7 +10,7 @@ rebuilds the wrapper from any registered class; ``load_from_pretrained``
 copies the path-intersection of parameters and returns the scalar count.
 """
 
-from typing import Any, Dict, Tuple, Type
+from typing import Any, Dict, Optional, Tuple, Type
 
 import jax
 
@@ -120,11 +120,16 @@ class ModelBase:
         )
 
     @classmethod
-    def load(cls, path: str) -> Tuple["ModelBase", Dict[str, Any]]:
+    def load(
+        cls, path: str, dtype: Optional[str] = None
+    ) -> Tuple["ModelBase", Dict[str, Any]]:
         """Load from a checkpoint; the class is taken from the manifest but
         must be cls or a subclass when called on a concrete class.
 
-        Reference PyTorch .pt checkpoints are converted transparently."""
+        Reference PyTorch .pt checkpoints are converted transparently.
+        ``dtype`` overrides the compute dtype the checkpoint was saved with
+        (params stay float32) — e.g. "bfloat16" for serving.
+        """
         class_name, kwargs, variables, _ = _load_any_checkpoint(path)
         _ensure_registered()
         model_cls = _REGISTRY.get(class_name)
@@ -134,6 +139,8 @@ class ModelBase:
             raise ValueError(
                 f"checkpoint contains {class_name}, expected {cls.__name__}"
             )
+        if dtype is not None:
+            kwargs = {**kwargs, "dtype": dtype}
         return model_cls(**kwargs), variables
 
     def load_from_pretrained(
