@@ -1,6 +1,8 @@
 """Sequence-parallel ops must match their unsharded equivalents exactly
 (8-device CPU mesh)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -135,3 +137,154 @@ def test_seq_conv_stack_jits_end_to_end():
     out = stack(_sharded(mesh, x))
     assert out.shape == (1, 128, 8)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_seq_parallel_unet_predictor_matches_unsharded():
+    """The time-sharded UNetPredictor (FiLM time/class conditioning, cond
+    injection, skip concats, dilated middle blocks) must reproduce the
+    single-chip predictor from the same checkpoint params."""
+    from vq_voice_swap_tpu.models import UNetPredictor
+    from vq_voice_swap_tpu.parallel.sequence import seq_parallel_unet_predictor
+
+    pred = UNetPredictor(
+        base_channels=4, channel_mult=(1, 2), middle_dilations=(2, 4),
+        depth_mult=1, cond_channels=6, num_labels=3,
+    )
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 256, 1), dtype=jnp.float32)
+    ts = jnp.asarray([0.3, 0.8], dtype=jnp.float32)
+    cond = jnp.asarray(rng.randn(2, 128, 6), dtype=jnp.float32)
+    labels = jnp.asarray([0, 2])
+    variables = jax.jit(
+        lambda r: pred.init(r, x, ts, cond=cond, labels=labels)
+    )(jax.random.key(1))
+
+    want = np.asarray(
+        jax.jit(lambda v: pred.apply(v, x, ts, cond=cond, labels=labels))(
+            variables
+        )
+    )
+
+    mesh = create_seq_mesh()
+    got = np.asarray(
+        jax.jit(
+            lambda p, xx, cc: seq_parallel_unet_predictor(
+                mesh, pred, p, xx, ts, cond=cc, labels=labels
+            )
+        )(variables["params"], _sharded(mesh, x), _sharded(mesh, cond))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_seq_parallel_unet_predictor_unconditional():
+    """No-cond / no-labels variant (plain diffusion sampling path)."""
+    from vq_voice_swap_tpu.models import UNetPredictor
+    from vq_voice_swap_tpu.parallel.sequence import seq_parallel_unet_predictor
+
+    pred = UNetPredictor(
+        base_channels=4, channel_mult=(1, 2), middle_dilations=(2,),
+        depth_mult=1,
+    )
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 128, 1), dtype=jnp.float32)
+    ts = jnp.asarray([0.5], dtype=jnp.float32)
+    variables = jax.jit(lambda r: pred.init(r, x, ts))(jax.random.key(2))
+
+    want = np.asarray(jax.jit(lambda v: pred.apply(v, x, ts))(variables))
+    mesh = create_seq_mesh()
+    got = np.asarray(
+        jax.jit(
+            lambda p, xx: seq_parallel_unet_predictor(mesh, pred, p, xx, ts)
+        )(variables["params"], _sharded(mesh, x))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_seq_parallel_ddpm_sample_matches_unsharded():
+    """A full T-sharded reverse-diffusion sample must match the unsharded
+    sampler (same rng, same checkpoint params) — the minutes-long-audio
+    sampling path."""
+    from vq_voice_swap_tpu.diffusion import Diffusion, make_schedule
+    from vq_voice_swap_tpu.models import UNetPredictor
+    from vq_voice_swap_tpu.parallel.sequence import seq_parallel_ddpm_sample
+
+    pred = UNetPredictor(
+        base_channels=4, channel_mult=(1, 2), middle_dilations=(2,),
+        depth_mult=1,
+    )
+    rng = np.random.RandomState(10)
+    x_T = jnp.asarray(rng.randn(1, 128, 1), dtype=jnp.float32)
+    ts0 = jnp.asarray([0.5], dtype=jnp.float32)
+    variables = jax.jit(lambda r: pred.init(r, x_T, ts0))(jax.random.key(3))
+
+    diffusion = Diffusion(make_schedule("exp"))
+    key = jax.random.key(11)
+
+    want = np.asarray(
+        diffusion.ddpm_sample(
+            x_T,
+            lambda xs, tt: pred.apply(variables, xs, tt),
+            steps=4,
+            rng=key,
+        )
+    )
+
+    mesh = create_seq_mesh()
+    got = np.asarray(
+        seq_parallel_ddpm_sample(
+            mesh, diffusion, pred, variables["params"],
+            _sharded(mesh, x_T), steps=4, rng=key,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.slow
+def test_seq_parallel_vqvae_convert_matches_unsharded():
+    """Full T-sharded speaker conversion (encode -> VQ -> decode) must match
+    the unsharded VQVAE.encode/decode path from the same checkpoint and rng."""
+    from vq_voice_swap_tpu.parallel.sequence import seq_parallel_vqvae_convert
+    from vq_voice_swap_tpu.vq_vae import VQVAE
+
+    from vq_voice_swap_tpu.models import UNetEncoder, UNetPredictor
+
+    model = VQVAE(
+        pred_name="unet",
+        base_channels=4,
+        enc_name="unet",
+        cond_mult=4,
+        dictionary_size=8,
+        num_labels=3,
+    )
+    # Swap in small topologies (the registry builds released-scale defaults;
+    # the wrapper is a plain config object so this keeps the test cheap).
+    model.predictor = UNetPredictor(
+        base_channels=4, channel_mult=(1, 2), middle_dilations=(2,),
+        depth_mult=1, cond_channels=16, num_labels=3,
+    )
+    model.encoder = UNetEncoder(
+        base_channels=4, channel_mult=(1, 2, 2), depth_mult=1,
+        out_channels=16,
+    )
+    seq_len = 256
+    variables = model.init_variables(jax.random.key(4), seq_len=seq_len)
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, seq_len, 1) * 0.3, dtype=jnp.float32)
+    labels = jnp.asarray([1])
+    key = jax.random.key(13)
+
+    codes = model.encode(variables, x)
+    want = np.asarray(
+        model.decode(variables, codes, key, labels=labels, steps=3)
+    )
+
+    mesh = create_seq_mesh()
+    got = np.asarray(
+        seq_parallel_vqvae_convert(
+            mesh, model, variables, _sharded(mesh, x), key,
+            labels=labels, steps=3,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)

@@ -36,6 +36,8 @@ __all__ = [
     "seq_sharded_avg_pool",
     "seq_sharded_upsample",
     "seq_parallel_unet_encoder",
+    "seq_parallel_unet_predictor",
+    "seq_parallel_ddpm_sample",
 ]
 
 SEQ_AXIS = "seq"
@@ -60,6 +62,11 @@ def halo_exchange(x: jnp.ndarray, left: int, right: int,
     """
     size = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
+    assert max(left, right) <= x.shape[1], (
+        f"halo {max(left, right)} exceeds local block {x.shape[1]}: the "
+        "sharded sequence is too short for this dilation/mesh combination "
+        "(halo exchange only reaches immediate neighbors)"
+    )
 
     parts = []
     if left:
@@ -228,9 +235,11 @@ def _seq_norm(mesh, x, norm_params, use_gelu):
     return out
 
 
-def _seq_resblock(mesh, x, params, scale_factor=1.0, dilation=2):
-    """Run models/layers.py::ResBlock (no embedding) from its params tree
-    over a T-sharded activation."""
+def _seq_resblock(mesh, x, params, scale_factor=1.0, dilation=2, emb=None):
+    """Run models/layers.py::ResBlock from its params tree over a T-sharded
+    activation. ``emb`` ([N, E], replicated) enables the FiLM scale-shift
+    path (h * (a + 1) + b); it broadcasts over T, so it runs on the global
+    sharded array directly — no collective needed."""
     h = _seq_norm(mesh, x, params["norm_in"]["norm"], use_gelu=True)
     if scale_factor == 0.5:
         h = seq_sharded_avg_pool(mesh, h, 2)
@@ -238,6 +247,11 @@ def _seq_resblock(mesh, x, params, scale_factor=1.0, dilation=2):
         h = seq_sharded_upsample(mesh, h, 2)
     h = _seq_conv_from_params(mesh, h, params["conv_in"]["conv"])
     h = _seq_norm(mesh, h, params["norm_mid"]["norm"], use_gelu=False)
+    if emb is not None:
+        cond = jax.nn.gelu(emb, approximate=False)
+        ab = cond @ params["cond_proj"]["kernel"] + params["cond_proj"]["bias"]
+        a, b = jnp.split(ab[:, None, :], 2, axis=-1)
+        h = h * (a + 1.0) + b
     h = jax.nn.gelu(h, approximate=False)
     h = _seq_conv_from_params(
         mesh, h, params["conv_out"]["conv"], dilation=dilation
@@ -286,3 +300,183 @@ def seq_parallel_unet_encoder(mesh, encoder, params, x):
     h = _seq_norm(mesh, h, params["out_norm"]["norm"], use_gelu=True)
     h = _seq_conv_from_params(mesh, h, params["out_conv"]["conv"])
     return h.astype(jnp.float32)
+
+
+def _time_class_embedding(predictor, params, ts, labels):
+    """[N] ts (+ labels) -> replicated [N, E] embedding, mirroring
+    UNetPredictor.__call__ (models/unet.py): sinusoidal TimeEmbedding with
+    frequencies geometric in [0.1, 100] + Dense, GELU, Dense, plus the class
+    embedding row."""
+    import math
+
+    embed_dim = predictor.base_channels * 4
+    half = embed_dim // 2
+    exponents = jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    freqs = 100.0 * jnp.exp(-math.log(100.0 / 0.1) * exponents)
+    args = ts.astype(jnp.float32)[:, None] * freqs[None, :]
+    sincos = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    te = params["time_embed"]["proj"]
+    emb = sincos @ te["kernel"] + te["bias"]
+    emb = jax.nn.gelu(emb, approximate=False)
+    tex = params["time_embed_extra"]
+    emb = emb @ tex["kernel"] + tex["bias"]
+    if labels is not None:
+        emb = emb + jnp.take(
+            params["class_embed"]["embedding"], labels, axis=0
+        )
+    return emb
+
+
+def seq_parallel_unet_predictor(
+    mesh, predictor, params, x, ts, cond=None, labels=None
+):
+    """Run a models/unet.py::UNetPredictor over a time-sharded waveform.
+
+    predictor: the UNetPredictor module (static topology config).
+    params: its params tree (unmodified checkpoint weights).
+    x: [N, T, in_channels] sharded P(None, SEQ_AXIS, None); ts: [N].
+    cond: optional [N, T1, C] sharded the same way, with T an integer
+    multiple of T1 (the VQ-VAE downsample_rate) so the nearest-resize is a
+    pure per-shard repeat. labels: optional [N] ints (replicated).
+
+    Convs exchange halos over the ICI ring; GroupNorm statistics psum across
+    the mesh; the FiLM time/class conditioning and skip concats are
+    per-timestep and need no communication. This is the minutes-long-audio
+    *conversion* path (SURVEY §5.7): with the encoder counterpart above, a
+    full sample_vqvae decode runs T-sharded from unmodified checkpoints.
+    """
+    emb = _time_class_embedding(predictor, params, ts, labels)
+
+    h = _seq_conv_from_params(mesh, x, params["in_conv"]["conv"])
+    if cond is not None:
+        c = _seq_conv_from_params(mesh, cond, params["cond_proj"]["conv"])
+        factor = h.shape[1] // c.shape[1]
+        assert h.shape[1] == c.shape[1] * factor, (
+            "T must be an integer multiple of the cond length for the "
+            "sequence-parallel predictor"
+        )
+        h = h + seq_sharded_upsample(mesh, c, factor)
+
+    skips = [h]
+    bi = 0
+    for depth, mult in enumerate(predictor.channel_mult):
+        for _ in range(predictor.depth_mult):
+            h = _seq_resblock(mesh, h, params[f"down_blocks_{bi}"], emb=emb)
+            bi += 1
+            skips.append(h)
+        if depth != len(predictor.channel_mult) - 1:
+            h = _seq_resblock(
+                mesh, h, params[f"down_blocks_{bi}"], scale_factor=0.5,
+                emb=emb,
+            )
+            bi += 1
+            skips.append(h)
+
+    for mi, d in enumerate(predictor.middle_dilations):
+        h = _seq_resblock(
+            mesh, h, params[f"middle_blocks_{mi}"], dilation=d, emb=emb
+        )
+
+    ui = 0
+    for depth, mult in list(enumerate(predictor.channel_mult))[::-1]:
+        for _ in range(predictor.depth_mult + 1):
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = _seq_resblock(mesh, h, params[f"up_blocks_{ui}"], emb=emb)
+            ui += 1
+        if depth:
+            h = _seq_resblock(
+                mesh, h, params[f"up_blocks_{ui}"], scale_factor=2.0, emb=emb
+            )
+            ui += 1
+
+    h = _seq_norm(mesh, h, params["out_norm"]["norm"], use_gelu=True)
+    h = _seq_conv_from_params(mesh, h, params["out_conv"]["conv"])
+    return h.astype(jnp.float32)
+
+
+def seq_parallel_ddpm_sample(
+    mesh,
+    diffusion,
+    predictor,
+    params,
+    x_T,
+    steps,
+    rng,
+    cond=None,
+    labels=None,
+    **kwargs,
+):
+    """diffusion.ddpm_sample with the T-sharded UNet predictor.
+
+    x_T: [N, T, 1] sharded P(None, SEQ_AXIS, None). The reverse-process
+    arithmetic (posterior mean/sigma, noise add) is elementwise, so it
+    partitions trivially; only the predictor communicates (halos + GN
+    psums). Returns the sampled x_0 with the same sharding.
+    """
+    return diffusion.ddpm_sample(
+        x_T,
+        lambda xs, ts: seq_parallel_unet_predictor(
+            mesh, predictor, params, xs, ts, cond=cond, labels=labels
+        ),
+        steps=steps,
+        rng=rng,
+        **kwargs,
+    )
+
+
+def seq_parallel_vqvae_convert(
+    mesh,
+    model,
+    variables,
+    x,
+    rng,
+    labels=None,
+    steps=100,
+    **kwargs,
+):
+    """Full speaker conversion (encode -> VQ -> diffusion decode) over a
+    time-sharded waveform — the minutes-long-audio path the reference cannot
+    express (it is bounded to 4 s clips; SURVEY §5.7).
+
+    model: a VQVAE whose encoder is a UNetEncoder (unet/unet128 families).
+    variables: its unmodified checkpoint variables.
+    x: [N, T, 1] sharded P(None, SEQ_AXIS, None); T divisible by
+       downsample_rate * n_shards.
+    labels: optional [N] target-speaker ids (replicated).
+
+    Mirrors VQVAE.encode + VQVAE.decode (vq_vae.py): the VQ nearest-neighbor
+    assignment is per-timestep (a [C] x [D, C] contraction), so it runs on
+    the sharded encoder output without communication; only convs (halos) and
+    GroupNorms (stat psums) talk across the mesh.
+    """
+    from ..models.unet import UNetEncoder
+    from ..vq import vq_forward
+
+    assert isinstance(model.encoder, UNetEncoder), (
+        "sequence-parallel conversion currently supports UNet-family "
+        f"encoders, got {type(model.encoder).__name__}"
+    )
+    params = variables["params"]
+
+    enc = seq_parallel_unet_encoder(mesh, model.encoder, params["encoder"], x)
+    cond_seq = vq_forward(params["vq"]["dictionary"], enc)["embedded"]
+
+    x_len = cond_seq.shape[1] * model.encoder.downsample_rate
+    rng, noise_rng = jax.random.split(rng)
+    x_T = jax.random.normal(
+        noise_rng, (cond_seq.shape[0], x_len, 1), dtype=jnp.float32
+    )
+    x_T = jax.device_put(x_T, NamedSharding(mesh, P(None, SEQ_AXIS, None)))
+
+    return seq_parallel_ddpm_sample(
+        mesh,
+        model.diffusion,
+        model.predictor,
+        params["predictor"],
+        x_T,
+        steps=steps,
+        rng=rng,
+        cond=cond_seq,
+        labels=labels,
+        **kwargs,
+    )
