@@ -1,0 +1,95 @@
+"""Compare sampling-path variants on the real chip (PERF.md round-2).
+
+Baseline: current DiffusionModel.predict_eps (flax forward).
+Variants: channel-packed execution of the C=64 full-resolution levels
+(ops/packed_unet.py), donated sampling buffers.
+
+Run on TPU:  python scripts/bench_sampling.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_voice_swap_tpu.diffusion import make_warp
+from vq_voice_swap_tpu.diffusion_model import DiffusionModel
+from vq_voice_swap_tpu.ops.packed_unet import packed_unet_predict
+
+SAMPLE_LEN = 64000
+STEPS = 50
+BATCH = 16
+
+
+def timed(label, fn, *args, repeats=2):
+    np.asarray(fn(*args))  # warm (compile + program load)
+    times = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        np.asarray(fn(*args))
+        times.append(time.perf_counter() - start)
+    best = min(times)
+    tput = BATCH * SAMPLE_LEN / best
+    print(f"{label:34s} {best * 1e3 / STEPS:8.2f} ms/step  "
+          f"{tput:12.0f} samples/s")
+    return best
+
+
+def main():
+    model = DiffusionModel(pred_name="unet", base_channels=64,
+                           dtype="bfloat16")
+    variables = model.init_variables(jax.random.key(0), seq_len=SAMPLE_LEN)
+    warp = make_warp("quadratic")
+
+    def make_sampler(pred_fn, donate=False):
+        def sample(variables, rng):
+            noise_rng, samp_rng = jax.random.split(rng)
+            x_T = jax.random.normal(noise_rng, (BATCH, SAMPLE_LEN, 1))
+            return model.diffusion.ddpm_sample(
+                x_T, lambda xs, ts: pred_fn(variables, xs, ts),
+                steps=STEPS, rng=samp_rng, warp=warp,
+            )
+        return jax.jit(sample)
+
+    def baseline_pred(variables, xs, ts):
+        return model.predict_eps(variables, xs, ts)
+
+    def packed_pred_k(k):
+        def pred(variables, xs, ts):
+            return packed_unet_predict(
+                model.predictor, variables["params"]["predictor"],
+                xs, ts, pack_levels=k,
+            )
+        return pred
+
+    # Single-forward comparison first (isolates the model from the scan).
+    xs = jnp.zeros((BATCH, SAMPLE_LEN, 1), jnp.float32)
+    ts = jnp.full((BATCH,), 0.5, jnp.float32)
+    fwd_base = jax.jit(lambda v: baseline_pred(v, xs, ts))
+    timed("forward baseline", fwd_base, variables)
+    for k in (1, 2):
+        fwd_p = jax.jit(lambda v, kk=k: packed_pred_k(kk)(v, xs, ts))
+        timed(f"forward packed k={k}", fwd_p, variables)
+
+    # Numerical sanity in bf16: packed vs baseline forward.
+    b = np.asarray(fwd_base(variables), np.float32)
+    p = np.asarray(
+        jax.jit(lambda v: packed_pred_k(2)(v, xs, ts))(variables), np.float32
+    )
+    print(f"packed-vs-baseline forward max|diff| = {np.abs(b - p).max():.3e} "
+          f"(bf16 reassociation)")
+
+    timed("50-step sampling baseline", make_sampler(baseline_pred),
+          variables, jax.random.key(1))
+    for k in (1, 2):
+        timed(f"50-step sampling packed k={k}",
+              make_sampler(packed_pred_k(k)), variables, jax.random.key(1))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,3 +154,43 @@ def test_librispeech_windowing(tmp_path):
     assert len(ds) == 2
     offsets = sorted(w.offset for w in ds.windows)
     assert offsets == [0, 8000]
+
+
+def test_data_loader_bounded_readahead():
+    """The loader must NOT precompute the whole epoch when the consumer is
+    slow: outstanding work is bounded by num_workers + prefetch (memory
+    safety for LibriSpeech-scale epochs)."""
+    import threading
+    import time as _time
+
+    computed = []
+    lock = threading.Lock()
+
+    class CountingDataset:
+        def __len__(self):
+            return 400
+
+        def __getitem__(self, i):
+            with lock:
+                computed.append(i)
+            return {"label": 0, "samples": np.zeros(16, np.float32)}
+
+        speaker_ids = [0]
+
+    from vq_voice_swap_tpu.data.loader import DataLoader
+
+    loader = DataLoader(
+        CountingDataset(), batch_size=4, num_workers=2, prefetch=2,
+        shuffle=False,
+    )
+    it = iter(loader)
+    next(it)
+    next(it)
+    _time.sleep(0.5)  # give an eager producer time to run away
+    with lock:
+        done = len(computed)
+    # 100 batches total; bounded readahead keeps us far below the epoch.
+    assert done <= 4 * (2 + 2 + 4), f"producer ran ahead: {done} items"
+    # Drain to let the thread exit cleanly; all batches still arrive.
+    rest = list(it)
+    assert len(rest) == 98

@@ -82,14 +82,21 @@ class DataLoader:
             }
 
         def producer():
+            # Sliding submission window: at most workers+prefetch batches in
+            # flight, so a slow consumer bounds memory to O(window), not
+            # O(epoch) (out_q.put blocks, which throttles new submissions).
+            window = self.num_workers + self.prefetch
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    futures = [
-                        pool.submit(collate, idxs)
-                        for idxs in self._batch_indices()
-                    ]
-                    for fut in futures:
-                        out_q.put(fut.result())
+                    from collections import deque
+
+                    pending = deque()
+                    for idxs in self._batch_indices():
+                        pending.append(pool.submit(collate, idxs))
+                        if len(pending) >= window:
+                            out_q.put(pending.popleft().result())
+                    while pending:
+                        out_q.put(pending.popleft().result())
             except BaseException as exc:  # propagate into the consumer
                 out_q.put(exc)
             finally:

@@ -1,0 +1,302 @@
+"""Channel-packed (space-to-depth) execution of the UNet predictor.
+
+Motivation (PERF.md): the unet64 forward is HBM-bound, and its costliest
+levels run at T=64000/32000 with only 64 channels — half-empty 128-wide TPU
+vector lanes for every GroupNorm/GELU/residual pass, and N=64 matmuls on the
+128x128 MXU. This module runs those levels in a [T/2, 2C] layout instead:
+
+  packed[n, p, c*2 + q] = x[n, 2*p + q, c]          (channel-major phases)
+
+which is EXACTLY equivalent — not an approximation — because every op the
+UNet uses at those levels commutes with the packing:
+
+  - stride-1 SAME conv (odd k, any dilation): repack the kernel so output
+    phase q at packed position p reads input phase i at packed offset
+    dp = (q + dk - i)/2 for each original tap offset dk (integral parities
+    only; other taps are zero). A dilated k=3,d=2 conv packs into a DENSE
+    k=3 conv. Zero padding maps 1:1 to packed zero padding.
+  - GroupNorm: with channel-major packing and the ORIGINAL group count, each
+    (n, group) statistic covers exactly the original element set.
+  - GELU / residual add / FiLM (a,b per channel -> repeat over phases):
+    elementwise.
+  - avg-pool x2: mean over the phase pair = unpack to the pooled resolution.
+  - nearest-upsample x2: both phases equal the source = repeat channels.
+  - channel concat (skips): packed concat == packing of the concat.
+
+Weights are repacked from the UNMODIFIED checkpoint params at trace time
+(tiny arrays); results match the standard forward to float tolerance
+(tests/test_packed_unet.py).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import adaptive_group_count, gelu, nearest_resize_1d
+
+__all__ = ["packed_unet_predict", "pack_conv_kernel"]
+
+
+# ------------------------------------------------------------ layout moves
+
+
+def _pack(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, T, C] -> [N, T/2, 2C], packed channel index = c*2 + phase."""
+    n, t, c = x.shape
+    assert t % 2 == 0
+    x = jnp.reshape(x, (n, t // 2, 2, c))
+    return jnp.reshape(jnp.transpose(x, (0, 1, 3, 2)), (n, t // 2, 2 * c))
+
+
+def _unpack(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _pack: [N, T2, 2C] -> [N, 2*T2, C]."""
+    n, t2, c2 = x.shape
+    assert c2 % 2 == 0
+    x = jnp.reshape(x, (n, t2, c2 // 2, 2))
+    return jnp.reshape(jnp.transpose(x, (0, 1, 3, 2)), (n, t2 * 2, c2 // 2))
+
+
+# ------------------------------------------------------- kernel re-packing
+
+
+def pack_conv_kernel(kernel: np.ndarray, dilation: int = 1):
+    """[K, Cin, Cout] stride-1 SAME conv kernel -> packed equivalent.
+
+    Returns (packed_kernel [K', 2Cin, 2Cout], (pad_left, pad_right)) such
+    that a VALID conv over the packed input padded by that amount equals the
+    packing of the original SAME conv output.
+    """
+    k, cin, cout = kernel.shape
+    half = k // 2
+    entries = {}
+    for kk in range(k):
+        dk = (kk - half) * dilation
+        for qo in (0, 1):
+            for pi in (0, 1):
+                num = qo + dk - pi
+                if num % 2:
+                    continue
+                entries.setdefault(num // 2, []).append((kk, qo, pi))
+    dps = sorted(entries)
+    kp = dps[-1] - dps[0] + 1
+    packed = jnp.zeros((kp, 2 * cin, 2 * cout), dtype=kernel.dtype)
+    for dp, lst in entries.items():
+        for kk, qo, pi in lst:
+            packed = packed.at[dp - dps[0], pi::2, qo::2].set(kernel[kk])
+    return packed, (-dps[0], dps[-1])
+
+
+def _packed_conv(x, conv_params, dilation=1):
+    """Packed-layout conv from ORIGINAL conv params (kernel repacked here;
+    under jit this folds into a constant per compiled program). Compute
+    dtype follows x (params stay float32 in the tree)."""
+    kernel, pad = pack_conv_kernel(conv_params["kernel"], dilation)
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1,),
+        padding=[pad],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    bias = conv_params.get("bias")
+    if bias is not None:
+        out = out + jnp.repeat(bias, 2).astype(x.dtype)
+    return out
+
+
+def _plain_conv(x, conv_params, dilation=1):
+    kernel = conv_params["kernel"]
+    pad = (kernel.shape[0] - 1) * dilation // 2
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1,), padding=[(pad, pad)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    bias = conv_params.get("bias")
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
+# ------------------------------------------------------------- norm / film
+
+
+def _group_norm(x, norm_params, groups, packed, eps=1e-5):
+    """GroupNorm from params; ``groups`` is the ORIGINAL group count, which
+    is exact in both layouts (packed groups are contiguous supersets)."""
+    n, t, c = x.shape
+    xf = x.astype(jnp.float32)
+    g = jnp.reshape(xf, (n, t, groups, c // groups))
+    mean = jnp.mean(g, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(g - mean), axis=(1, 3), keepdims=True)
+    out = (g - mean) * jax.lax.rsqrt(var + eps)
+    out = jnp.reshape(out, (n, t, c))
+    scale = norm_params["scale"].astype(jnp.float32)
+    bias = norm_params["bias"].astype(jnp.float32)
+    if packed:
+        scale, bias = jnp.repeat(scale, 2), jnp.repeat(bias, 2)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def _film(params, emb, packed):
+    cond = gelu(emb)
+    ab = cond @ params["kernel"] + params["bias"]
+    a, b = jnp.split(ab[:, None, :], 2, axis=-1)
+    if packed:
+        a, b = jnp.repeat(a, 2, axis=-1), jnp.repeat(b, 2, axis=-1)
+    return a, b
+
+
+# -------------------------------------------------------------- res blocks
+
+
+def _resize(h, scale_factor, in_packed, out_packed):
+    """x2 pool / x2 nearest-up with layout transitions."""
+    if scale_factor == 1.0:
+        assert in_packed == out_packed
+        return h
+    if scale_factor == 0.5:
+        if in_packed:
+            # Mean over the phase pair = the pooled (unpacked) array.
+            n, t2, c2 = h.shape
+            pooled = jnp.mean(
+                jnp.reshape(h, (n, t2, c2 // 2, 2)), axis=-1
+            )
+        else:
+            n, t, c = h.shape
+            pooled = jnp.mean(jnp.reshape(h, (n, t // 2, 2, c)), axis=2)
+        return _pack(pooled) if out_packed else pooled
+    assert scale_factor == 2.0
+    src = _unpack(h) if in_packed else h
+    if out_packed:
+        return jnp.repeat(src, 2, axis=-1)  # both phases = source
+    return jnp.repeat(src, 2, axis=1)
+
+
+def _resblock(x, params, emb, groups_in, groups_out, in_packed, out_packed,
+              scale_factor=1.0, dilation=2):
+    """models/layers.py::ResBlock from its params tree, in either layout.
+
+    ``groups_in``/``groups_out`` are the ORIGINAL GroupNorm group counts
+    (adaptive_group_count of the unpacked channel widths).
+    """
+    conv = _packed_conv if out_packed else _plain_conv
+
+    h = gelu(_group_norm(x, params["norm_in"]["norm"], groups_in, in_packed))
+    h = _resize(h, scale_factor, in_packed, out_packed)
+    h = conv(h, params["conv_in"]["conv"])
+    h = _group_norm(h, params["norm_mid"]["norm"], groups_out, out_packed)
+    if emb is not None:
+        a, b = _film(params["cond_proj"], emb, out_packed)
+        h = h * (a + 1.0) + b
+    h = gelu(h)
+    h = conv(h, params["conv_out"]["conv"], dilation=dilation)
+
+    skip = _resize(x, scale_factor, in_packed, out_packed)
+    if "skip_proj" in params:
+        skip = conv(skip, params["skip_proj"]["conv"], dilation=1)
+    return skip + h
+
+
+# ----------------------------------------------------------- full predictor
+
+
+def packed_unet_predict(
+    predictor,
+    params,
+    x: jnp.ndarray,
+    ts: jnp.ndarray,
+    cond: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    pack_levels: int = 2,
+) -> jnp.ndarray:
+    """UNetPredictor forward with the first ``pack_levels`` pyramid levels
+    (both down and up paths, plus in/out convs) run in packed layout.
+
+    Exact-output equivalent of ``predictor.apply`` from the same params.
+    """
+    from ..parallel.sequence import _time_class_embedding
+
+    ch = predictor.base_channels
+    if predictor.dtype is not None:
+        x = x.astype(predictor.dtype)
+        if cond is not None:
+            cond = cond.astype(predictor.dtype)
+    emb = _time_class_embedding(predictor, params, ts, labels)
+
+    def packed_at(depth):
+        return depth < pack_levels
+
+    def groups_at(channels):
+        return adaptive_group_count(channels)
+
+    h = _packed_conv(_pack(x), params["in_conv"]["conv"])
+    if cond is not None:
+        c = _plain_conv(cond, params["cond_proj"]["conv"])
+        h = h + _pack(nearest_resize_1d(c, x.shape[1]))
+
+    mults = list(predictor.channel_mult)
+    skips = [h]
+    widths = [ch]  # unpacked channel width per skip entry
+    cur = ch
+    bi = 0
+    for depth, mult in enumerate(mults):
+        for _ in range(predictor.depth_mult):
+            h = _resblock(
+                h, params[f"down_blocks_{bi}"], emb,
+                groups_at(cur), groups_at(mult * ch),
+                packed_at(depth), packed_at(depth),
+            )
+            cur = mult * ch
+            bi += 1
+            skips.append(h)
+            widths.append(cur)
+        if depth != len(mults) - 1:
+            h = _resblock(
+                h, params[f"down_blocks_{bi}"], emb,
+                groups_at(cur), groups_at(cur),
+                packed_at(depth), packed_at(depth + 1),
+                scale_factor=0.5,
+            )
+            bi += 1
+            skips.append(h)
+            widths.append(cur)
+
+    for mi, d in enumerate(predictor.middle_dilations):
+        h = _resblock(
+            h, params[f"middle_blocks_{mi}"], emb,
+            groups_at(cur), groups_at(cur),
+            packed_at(len(mults) - 1), packed_at(len(mults) - 1),
+            dilation=d,
+        )
+
+    ui = 0
+    for depth, mult in list(enumerate(mults))[::-1]:
+        for _ in range(predictor.depth_mult + 1):
+            skip_h = skips.pop()
+            skip_w = widths.pop()
+            h = jnp.concatenate([h, skip_h], axis=-1)
+            h = _resblock(
+                h, params[f"up_blocks_{ui}"], emb,
+                groups_at(cur + skip_w), groups_at(mult * ch),
+                packed_at(depth), packed_at(depth),
+            )
+            cur = mult * ch
+            ui += 1
+        if depth:
+            h = _resblock(
+                h, params[f"up_blocks_{ui}"], emb,
+                groups_at(cur), groups_at(cur),
+                packed_at(depth), packed_at(depth - 1),
+                scale_factor=2.0,
+            )
+            ui += 1
+
+    h = gelu(
+        _group_norm(
+            h, params["out_norm"]["norm"], groups_at(cur), packed_at(0)
+        )
+    )
+    h = _packed_conv(h, params["out_conv"]["conv"])
+    return _unpack(h).astype(jnp.float32)

@@ -18,15 +18,26 @@ shapes that do not tile cleanly.
 """
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["vq_assign", "vq_assign_pallas", "pallas_supported"]
+__all__ = [
+    "vq_assign",
+    "vq_assign_pallas",
+    "vq_assign_sharded",
+    "pallas_supported",
+    "set_vq_mesh",
+]
 
 _LANE = 128
+
+# Data-parallel mesh registered by the train loop (set_vq_mesh): lets the
+# Pallas kernel stay enabled under multi-device meshes by running per-shard
+# inside shard_map instead of falling back to XLA.
+_MESH = None
 
 
 def _xla_assign(dictionary: jnp.ndarray, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -44,12 +55,19 @@ def _xla_assign(dictionary: jnp.ndarray, x: jnp.ndarray) -> Tuple[jnp.ndarray, j
     return idxs.astype(jnp.int32), used
 
 
+def set_vq_mesh(mesh) -> None:
+    """Register the data-parallel mesh (or None) for sharded VQ assignment.
+
+    Called by the train loops after building their mesh; under a registered
+    multi-device mesh the Pallas kernel runs per-shard inside shard_map with
+    a pmax-combined used mask instead of being disabled.
+    """
+    global _MESH
+    _MESH = mesh
+
+
 def pallas_supported(num_codes: int, num_channels: int) -> bool:
     if jax.default_backend() != "tpu":
-        return False
-    # Single-chip only for now: under a multi-device mesh the kernel would
-    # need a shard_map wrapper to stay partitioned (future optimization).
-    if jax.device_count() != 1:
         return False
     return num_codes % _LANE == 0 and num_channels % _LANE == 0
 
@@ -148,10 +166,54 @@ def vq_assign_pallas(
     return idxs, used[0]
 
 
+def vq_assign_sharded(
+    mesh, dictionary: jnp.ndarray, x: jnp.ndarray, interpret: bool = False,
+    tile: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas assignment under a 1-D mesh: rows shard over the mesh axis,
+    each device runs the kernel on its local block, and the used masks
+    combine with a pmax (one small [D] all-reduce on the ICI ring)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    (axis,) = mesh.axis_names
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(axis), P()),
+        # pallas_call does not annotate varying-mesh-axes metadata; the
+        # specs above are the full contract.
+        check_vma=False,
+    )
+    def run(dictionary, x_local):
+        idxs, used = vq_assign_pallas(
+            dictionary, x_local, tile=tile, interpret=interpret
+        )
+        return idxs, jax.lax.pmax(used, axis)
+
+    return run(dictionary, x)
+
+
 def vq_assign(dictionary: jnp.ndarray, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Nearest-code assignment + used mask; Pallas on TPU, XLA elsewhere."""
+    """Nearest-code assignment + used mask; Pallas on TPU, XLA elsewhere.
+
+    Multi-device: stays on the Pallas path when the train loop registered
+    its mesh (set_vq_mesh) and the rows split evenly; the per-device block
+    must still clear the >=512-row bar for the kernel to win.
+    """
     d, c = dictionary.shape
     b = x.shape[0]
-    if pallas_supported(d, c) and b >= 512:
-        return vq_assign_pallas(dictionary, x)
+    if pallas_supported(d, c):
+        n_dev = jax.device_count()
+        if n_dev == 1 and b >= 512:
+            return vq_assign_pallas(dictionary, x)
+        if (
+            _MESH is not None
+            and _MESH.devices.size == n_dev
+            and b % n_dev == 0
+            and b // n_dev >= 512
+        ):
+            return vq_assign_sharded(_MESH, dictionary, x)
     return _xla_assign(dictionary, x)

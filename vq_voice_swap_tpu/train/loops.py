@@ -68,6 +68,11 @@ class TrainLoop(ABC):
         os.makedirs(args.output_dir, exist_ok=True)
 
         self.mesh = create_mesh()
+        # Keep the fused Pallas VQ assignment enabled under this mesh
+        # (ops/vq_pallas.py runs it per-shard inside shard_map).
+        from ..ops.vq_pallas import set_vq_mesh
+
+        set_vq_mesh(self.mesh if self.mesh.devices.size > 1 else None)
         self.rng_seed = getattr(args, "seed", 0)
 
         self.data_loader, self.num_labels = self.create_data_loader()
@@ -130,6 +135,8 @@ class TrainLoop(ABC):
             max_steps = getattr(self.args, "max_steps", None)
         if getattr(self.args, "profile_dir", None):
             jax.profiler.start_trace(self.args.profile_dir)
+        self._pending = None
+        self._last_finish = None
         try:
             for i, batch in enumerate(repeat_dataset(self.data_loader)):
                 if max_steps is not None and i >= max_steps:
@@ -138,11 +145,15 @@ class TrainLoop(ABC):
                 self.loop_steps = i
                 self.step(batch)
         finally:
+            self._flush_pending()
             if getattr(self.args, "profile_dir", None):
                 jax.profiler.stop_trace()
 
     def step(self, batch: Dict[str, np.ndarray]):
-        start = time.perf_counter()
+        """Dispatch one train step; metrics of the PREVIOUS step are fetched
+        and logged while this one runs on device (1-deep pipeline), so the
+        per-step host work (loss fetch, tracker, log line, next batch prep)
+        overlaps device compute instead of serialising with it."""
         rng = jax.random.fold_in(
             jax.random.key(self.rng_seed), self.total_steps
         )
@@ -150,24 +161,44 @@ class TrainLoop(ABC):
         device_batch = global_batch_from_local(
             self.mesh, self.prepare_batch(batch)
         )
+        dispatched = time.perf_counter()
         self.state, metrics = self.train_step(
             self.state, device_batch, rng, self.frozen_ctx
         )
-        # Wall-clock / throughput: reading the loss forces completion, so
-        # this measures the actual step (first steps include compile).
-        metrics = dict(metrics)
-        loss = float(metrics["loss"])
-        elapsed = time.perf_counter() - start
-        metrics["samples_per_sec"] = self.args.batch_size / elapsed
-        self.log_metrics(metrics, loss=loss)
+        self._flush_pending()
+        self._pending = (self.loop_steps, metrics, dispatched)
         if (self.total_steps + 1) % self.args.save_interval == 0:
+            # Keep the '# saved' sentinel ordered after this step's log line.
+            self._flush_pending()
             self.save()
+
+    def _flush_pending(self):
+        """Fetch + log the metrics of the last dispatched step (blocks until
+        that step completes on device)."""
+        if getattr(self, "_pending", None) is None:
+            return
+        loop_steps, metrics, dispatched = self._pending
+        self._pending = None
+        metrics = dict(metrics)
+        loss = float(metrics["loss"])  # forces completion
+        now = time.perf_counter()
+        # Steady state: time between consecutive completions; first step
+        # falls back to dispatch->completion (includes compile).
+        baseline = self._last_finish if self._last_finish else dispatched
+        self._last_finish = now
+        metrics["samples_per_sec"] = self.args.batch_size / (now - baseline)
+        self.log_metrics(metrics, loss=loss, step=loop_steps + 1)
 
     def prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         """Hook to augment the host batch (e.g. curriculum scalars)."""
         return batch
 
-    def log_metrics(self, metrics: Dict[str, Any], loss: Optional[float] = None):
+    def log_metrics(
+        self,
+        metrics: Dict[str, Any],
+        loss: Optional[float] = None,
+        step: Optional[int] = None,
+    ):
         # One D2H transfer for the scalar metrics per step.
         if loss is None:
             loss = float(metrics["loss"])
@@ -178,7 +209,9 @@ class TrainLoop(ABC):
         if "samples_per_sec" in metrics:
             other["samples_per_sec"] = float(metrics["samples_per_sec"])
         other.update(self.tracker.log_dict())
-        self.logger.log(self.loop_steps + 1, loss=loss, **other)
+        if step is None:
+            step = self.loop_steps + 1
+        self.logger.log(step, loss=loss, **other)
 
     # ------------------------------------------------------------- plumbing
 
