@@ -90,6 +90,30 @@ def main():
         timed(f"50-step sampling packed k={k}",
               make_sampler(packed_pred_k(k)), variables, jax.random.key(1))
 
+    # Fused ResBlock megakernel variants (ops/fused_resblock.py).
+    def fused_pred_k(k):
+        def pred(variables, xs, ts):
+            return packed_unet_predict(
+                model.predictor, variables["params"]["predictor"],
+                xs, ts, pack_levels=0, fuse_levels=k,
+            )
+        return pred
+
+    b = np.asarray(fwd_base(variables), np.float32)
+    f = np.asarray(
+        jax.jit(lambda v: fused_pred_k(2)(v, xs, ts))(variables), np.float32
+    )
+    print(f"fused-vs-baseline forward max|diff| = {np.abs(b - f).max():.3e}")
+    for k in (1, 2, 3):
+        timed(f"50-step sampling fused k={k}",
+              make_sampler(fused_pred_k(k)), variables, jax.random.key(1))
+
+    # MXU-routed GroupNorm statistics (VVS_MATMUL_GN), baseline model.
+    os.environ["VVS_MATMUL_GN"] = "1"
+    timed("50-step sampling matmul-GN", make_sampler(baseline_pred),
+          variables, jax.random.key(1))
+    del os.environ["VVS_MATMUL_GN"]
+
 
 if __name__ == "__main__":
     main()

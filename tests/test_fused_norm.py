@@ -9,6 +9,8 @@ import numpy as np
 from vq_voice_swap_tpu.ops.fused_norm import (
     fused_group_norm,
     fused_norm_enabled,
+    matmul_group_norm,
+    matmul_norm_enabled,
     pick_tile,
     reference_group_norm,
 )
@@ -59,6 +61,43 @@ def test_fused_group_norm_grads():
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_matmul_group_norm_matches_reference():
+    assert not matmul_norm_enabled()  # opt-in (VVS_MATMUL_GN=1)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(3, 256, 16) * 2.0 + 0.5, dtype=jnp.float32)
+    scale = jnp.asarray(rng.rand(16), jnp.float32)
+    bias = jnp.asarray(rng.randn(16), jnp.float32)
+    for use_gelu in (False, True):
+        want = reference_group_norm(x, scale, bias, 4, 1e-5, use_gelu)
+        got = matmul_group_norm(x, scale, bias, 4, 1e-5, use_gelu)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    # bf16 inputs: products are exact in f32 accumulation, so the stats
+    # agree with the f32 two-pass reference on the bf16 values.
+    xb = x.astype(jnp.bfloat16)
+    want = reference_group_norm(xb, scale, bias, 4, 1e-5, True)
+    got = matmul_group_norm(xb, scale, bias, 4, 1e-5, True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+    # Differentiable (used in training when enabled).
+    g = jax.grad(
+        lambda xx: jnp.sum(matmul_group_norm(xx, scale, bias, 4, 1e-5, True))
+    )(x)
+    g_ref = jax.grad(
+        lambda xx: jnp.sum(
+            reference_group_norm(xx, scale, bias, 4, 1e-5, True)
+        )
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=1e-4, rtol=1e-4
+    )
 
 
 def test_pick_tile():

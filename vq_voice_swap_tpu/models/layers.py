@@ -128,10 +128,25 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.fused_norm import fused_norm_enabled, fused_group_norm
+        from ..ops.fused_norm import (
+            fused_norm_enabled,
+            fused_group_norm,
+            matmul_norm_enabled,
+            matmul_group_norm,
+        )
 
         ch = x.shape[-1]
         groups = adaptive_group_count(ch, self.max_groups)
+        if matmul_norm_enabled() and x.ndim == 3 and x.shape[1] >= 4096:
+            # MXU-routed statistics; only worthwhile where the T-axis reduce
+            # dominates (full-resolution levels).
+            scale, bias = _NormParams(ch, name="norm")()
+            out = matmul_group_norm(
+                x, scale, bias, groups, self.epsilon, self.use_gelu
+            )
+            if self.dtype is not None:
+                out = out.astype(self.dtype)
+            return out
         if fused_norm_enabled():
             # Experimental Pallas stats kernel (see ops/fused_norm.py).
             scale, bias = _NormParams(ch, name="norm")()

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fused_group_norm", "reference_group_norm", "pick_tile",
-           "fused_norm_enabled"]
+           "fused_norm_enabled", "matmul_norm_enabled", "matmul_group_norm"]
 
 
 def fused_norm_enabled() -> bool:
@@ -35,6 +35,13 @@ def fused_norm_enabled() -> bool:
     import os
 
     return os.environ.get("VVS_FUSED_GROUPNORM", "0") == "1"
+
+
+def matmul_norm_enabled() -> bool:
+    """Opt-in flag for MXU-routed GroupNorm statistics (matmul_group_norm)."""
+    import os
+
+    return os.environ.get("VVS_MATMUL_GN", "0") == "1"
 
 
 def reference_group_norm(
@@ -151,8 +158,17 @@ def _fused_forward(
     )(x)
     sums = sums[:, 0, :]
     sqs = sqs[:, 0, :]
+    return _finish_from_channel_stats(
+        x, sums, sqs, scale, bias, num_groups, eps, use_gelu
+    )
 
-    # Tiny [N, C] -> per-group stats -> folded affine, in plain XLA.
+
+def _finish_from_channel_stats(x, sums, sqs, scale, bias, num_groups, eps,
+                               use_gelu):
+    """Per-channel f32 sum / sum-of-squares -> group stats -> folded affine
+    -> normalize (+ GELU), all as tiny-[N, C] XLA ops plus one elementwise
+    pass over x that fuses with the surrounding graph."""
+    n, t, c = x.shape
     count = t * (c // num_groups)
     g_sum = jnp.sum(jnp.reshape(sums, (n, num_groups, -1)), axis=-1)
     g_sq = jnp.sum(jnp.reshape(sqs, (n, num_groups, -1)), axis=-1)
@@ -173,6 +189,38 @@ def _fused_forward(
     if use_gelu:
         out = jax.nn.gelu(out, approximate=False)
     return out.astype(x.dtype)
+
+
+def matmul_group_norm(x, scale, bias, num_groups, eps, use_gelu):
+    """GroupNorm(+GELU) with the statistic reductions routed through the MXU.
+
+    The profiled cost of the default GroupNorm on [N, T>=32k, C<=512] is the
+    statistic reduction: XLA lowers the (T, C/G)-axis reduce at a fraction of
+    HBM bandwidth (~57 GB/s measured for [16, 64000, 64] bf16). Dot products
+    over the T axis hit the MXU at memory speed instead:
+
+      - per-channel sums:      ones[8, T] @ x -> [8, N, C], row 0
+      - per-channel sum-of-sq: diagonal of the batched Gram x^T x [N, C, C]
+
+    Both are EXACT in f32 accumulation (bf16 x bf16 products have <= 16
+    mantissa bits, representable exactly in f32), so this matches the f32
+    two-pass statistics up to summation order. Everything stays inside XLA —
+    no custom-call boundary, fusion with neighbors is preserved.
+    """
+    n, t, c = x.shape
+    ones = jnp.ones((8, t), x.dtype)
+    sums = jax.lax.dot_general(
+        ones, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]  # [N, C]
+    gram = jax.lax.dot_general(
+        x, x, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [N, C, C]
+    sqs = jnp.diagonal(gram, axis1=1, axis2=2)  # [N, C]
+    return _finish_from_channel_stats(
+        x, sums, sqs, scale, bias, num_groups, eps, use_gelu
+    )
 
 
 def _supported(x: jnp.ndarray) -> Optional[int]:

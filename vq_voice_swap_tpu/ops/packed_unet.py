@@ -210,13 +210,17 @@ def packed_unet_predict(
     cond: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
     pack_levels: int = 2,
+    fuse_levels: int = 0,
 ) -> jnp.ndarray:
     """UNetPredictor forward with the first ``pack_levels`` pyramid levels
-    (both down and up paths, plus in/out convs) run in packed layout.
+    (both down and up paths, plus in/out convs) run in packed layout, and/or
+    the same-resolution ResBlocks of the first ``fuse_levels`` levels run as
+    single Pallas megakernels (ops/fused_resblock.py; unpacked layout only).
 
     Exact-output equivalent of ``predictor.apply`` from the same params.
     """
     from ..parallel.sequence import _time_class_embedding
+    from .fused_resblock import fused_resblock, fused_resblock_supported
 
     ch = predictor.base_channels
     if predictor.dtype is not None:
@@ -231,10 +235,28 @@ def packed_unet_predict(
     def groups_at(channels):
         return adaptive_group_count(channels)
 
-    h = _packed_conv(_pack(x), params["in_conv"]["conv"])
+    def same_res(h, bparams, gi, go, depth, dilation=2):
+        """Same-resolution ResBlock: Pallas megakernel when requested and
+        supported for this shape, else the XLA path (packed or plain)."""
+        if (depth < fuse_levels and not packed_at(depth)
+                and fused_resblock_supported(h, dilation)):
+            return fused_resblock(
+                h, bparams, emb, groups_in=gi, groups_out=go,
+                dilation=dilation,
+            )
+        return _resblock(
+            h, bparams, emb, gi, go, packed_at(depth), packed_at(depth),
+            dilation=dilation,
+        )
+
+    if packed_at(0):
+        h = _packed_conv(_pack(x), params["in_conv"]["conv"])
+    else:
+        h = _plain_conv(x, params["in_conv"]["conv"])
     if cond is not None:
         c = _plain_conv(cond, params["cond_proj"]["conv"])
-        h = h + _pack(nearest_resize_1d(c, x.shape[1]))
+        c = nearest_resize_1d(c, x.shape[1])
+        h = h + (_pack(c) if packed_at(0) else c)
 
     mults = list(predictor.channel_mult)
     skips = [h]
@@ -243,10 +265,9 @@ def packed_unet_predict(
     bi = 0
     for depth, mult in enumerate(mults):
         for _ in range(predictor.depth_mult):
-            h = _resblock(
-                h, params[f"down_blocks_{bi}"], emb,
-                groups_at(cur), groups_at(mult * ch),
-                packed_at(depth), packed_at(depth),
+            h = same_res(
+                h, params[f"down_blocks_{bi}"],
+                groups_at(cur), groups_at(mult * ch), depth,
             )
             cur = mult * ch
             bi += 1
@@ -264,11 +285,9 @@ def packed_unet_predict(
             widths.append(cur)
 
     for mi, d in enumerate(predictor.middle_dilations):
-        h = _resblock(
-            h, params[f"middle_blocks_{mi}"], emb,
-            groups_at(cur), groups_at(cur),
-            packed_at(len(mults) - 1), packed_at(len(mults) - 1),
-            dilation=d,
+        h = same_res(
+            h, params[f"middle_blocks_{mi}"],
+            groups_at(cur), groups_at(cur), len(mults) - 1, dilation=d,
         )
 
     ui = 0
@@ -277,10 +296,9 @@ def packed_unet_predict(
             skip_h = skips.pop()
             skip_w = widths.pop()
             h = jnp.concatenate([h, skip_h], axis=-1)
-            h = _resblock(
-                h, params[f"up_blocks_{ui}"], emb,
-                groups_at(cur + skip_w), groups_at(mult * ch),
-                packed_at(depth), packed_at(depth),
+            h = same_res(
+                h, params[f"up_blocks_{ui}"],
+                groups_at(cur + skip_w), groups_at(mult * ch), depth,
             )
             cur = mult * ch
             ui += 1
@@ -298,5 +316,8 @@ def packed_unet_predict(
             h, params["out_norm"]["norm"], groups_at(cur), packed_at(0)
         )
     )
-    h = _packed_conv(h, params["out_conv"]["conv"])
-    return _unpack(h).astype(jnp.float32)
+    if packed_at(0):
+        h = _unpack(_packed_conv(h, params["out_conv"]["conv"]))
+    else:
+        h = _plain_conv(h, params["out_conv"]["conv"])
+    return h.astype(jnp.float32)
