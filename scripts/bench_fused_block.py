@@ -1,0 +1,75 @@
+"""Microbenchmark: one same-resolution ResBlock, XLA vs Pallas megakernel.
+
+Isolates ops/fused_resblock.py from full-model fusion effects at the three
+shapes that dominate the unet64 forward (PERF.md roofline).
+
+Run on TPU:  python scripts/bench_fused_block.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vq_voice_swap_tpu.models.layers import ResBlock, adaptive_group_count
+from vq_voice_swap_tpu.ops.fused_resblock import fused_resblock
+
+N = 16
+EMB = 256
+
+
+def bench(label, fn, *args, repeats=3):
+    np.asarray(fn(*args))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        times.append(time.perf_counter() - t0)
+    print(f"{label:40s} {min(times) * 1e3:8.3f} ms")
+    return min(times)
+
+
+def run_shape(t, cin, cout, dilation=2, dtype=jnp.bfloat16):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(N, t, cin), dtype)
+    emb = jnp.asarray(rng.randn(N, EMB), dtype)
+    block = ResBlock(out_channels=cout, use_emb=True, dilation=dilation,
+                     dtype=dtype)
+    params = block.init(jax.random.key(0), x, emb)["params"]
+    params = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, p.dtype), params
+    )
+
+    xla = jax.jit(lambda xx: block.apply({"params": params}, xx, emb))
+    fused = jax.jit(
+        lambda xx: fused_resblock(
+            xx, params, emb,
+            groups_in=adaptive_group_count(cin),
+            groups_out=adaptive_group_count(cout),
+            dilation=dilation,
+        )
+    )
+    name = f"[{N},{t},{cin}->{cout}] d={dilation}"
+    a = bench(f"xla   {name}", xla, x)
+    b = bench(f"fused {name}", fused, x)
+    diff = float(jnp.abs(
+        xla(x).astype(jnp.float32) - fused(x).astype(jnp.float32)
+    ).max())
+    print(f"  speedup {a / b:5.2f}x   max|diff| {diff:.3e}")
+
+
+def main():
+    run_shape(64000, 64, 64)        # level-0 down block
+    run_shape(64000, 128, 64)       # level-0 up block (concat input)
+    run_shape(32000, 64, 64)        # level-1 down block
+    run_shape(16000, 128, 128)      # level-2
+    run_shape(64000, 64, 64, dilation=1)
+
+
+if __name__ == "__main__":
+    main()

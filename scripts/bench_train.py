@@ -1,0 +1,69 @@
+"""Training-throughput benchmark (PERF.md round-2, VERDICT item 5).
+
+Runs the unet64-class VQ-VAE train CLI (the round-1 reference config) on
+the real chip for a few dozen steps across batch sizes and reports median
+steady-state samples/sec from the train log, plus the device-step/dispatch
+breakdown.
+
+Run on TPU:  python scripts/bench_train.py [--steps 30]
+"""
+
+import argparse
+import os
+import re
+import statistics
+import subprocess
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_config(label, cli, extra, steps):
+    out = tempfile.mkdtemp(prefix="bench_train_")
+    cmd = [
+        sys.executable, os.path.join(ROOT, cli), "tones",
+        "--max-steps", str(steps), "--save-interval", str(10 * steps),
+        "--output-dir", out,
+    ] + extra
+    env = dict(os.environ)
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=1800)
+    if res.returncode != 0:
+        print(f"{label}: FAILED\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+        return None
+    rates = []
+    log = os.path.join(out, "train_log.txt")
+    for line in open(log):
+        m = re.search(r"samples_per_sec=([0-9.]+)", line)
+        sm = re.match(r"step (\d+):", line)
+        if m and sm and int(sm.group(1)) > 5:  # skip compile/warmup steps
+            rates.append(float(m.group(1)))
+    med = statistics.median(rates) if rates else float("nan")
+    print(f"{label:44s} median {med:8.1f} samples/s "
+          f"(n={len(rates)}, max {max(rates):.1f})")
+    return med
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+
+    base = ["--predictor", "unet", "--base-channels", "64",
+            "--encoder", "unet128", "--class-cond", "--bf16"]
+    for bs in (8, 16, 32):
+        run_config(
+            f"vqvae unet64-class bf16 batch={bs}", "train_vqvae.py",
+            base + ["--batch-size", str(bs)], args.steps,
+        )
+    # f32 reference point at the round-1 config.
+    run_config(
+        "vqvae unet64-class f32 batch=8", "train_vqvae.py",
+        [a for a in base if a != "--bf16"] + ["--batch-size", "8"],
+        args.steps,
+    )
+
+
+if __name__ == "__main__":
+    main()
