@@ -46,17 +46,22 @@ def run_shape(t, cin, cout, dilation=2, dtype=jnp.bfloat16):
     )
 
     xla = jax.jit(lambda xx: block.apply({"params": params}, xx, emb))
-    fused = jax.jit(
-        lambda xx: fused_resblock(
-            xx, params, emb,
-            groups_in=adaptive_group_count(cin),
-            groups_out=adaptive_group_count(cout),
-            dilation=dilation,
+
+    def make_fused(pipelined):
+        return jax.jit(
+            lambda xx: fused_resblock(
+                xx, params, emb,
+                groups_in=adaptive_group_count(cin),
+                groups_out=adaptive_group_count(cout),
+                dilation=dilation, pipelined=pipelined,
+            )
         )
-    )
+
+    fused = make_fused(True)
     name = f"[{N},{t},{cin}->{cout}] d={dilation}"
-    a = bench(f"xla   {name}", xla, x)
-    b = bench(f"fused {name}", fused, x)
+    a = bench(f"xla        {name}", xla, x)
+    b = bench(f"fused pipe {name}", fused, x)
+    bench(f"fused sync {name}", make_fused(False), x)
     diff = float(jnp.abs(
         xla(x).astype(jnp.float32) - fused(x).astype(jnp.float32)
     ).max())

@@ -14,7 +14,8 @@ from vq_voice_swap_tpu.ops.fused_resblock import (
 )
 
 
-def _run_case(n, t, cin, cout, dilation, use_emb, dtype, tile, tol):
+def _run_case(n, t, cin, cout, dilation, use_emb, dtype, tile, tol,
+              pipelined=True):
     rng = np.random.RandomState(hash((t, cin, cout, dilation)) % 2**31)
     x = jnp.asarray(rng.randn(n, t, cin), dtype)
     emb = jnp.asarray(rng.randn(n, 24), dtype) if use_emb else None
@@ -37,7 +38,7 @@ def _run_case(n, t, cin, cout, dilation, use_emb, dtype, tile, tol):
         x, params, emb,
         groups_in=adaptive_group_count(cin),
         groups_out=adaptive_group_count(cout),
-        dilation=dilation, tile=tile, interpret=True,
+        dilation=dilation, tile=tile, interpret=True, pipelined=pipelined,
     )
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
@@ -51,6 +52,11 @@ def test_same_channels_film():
 
 def test_skip_proj_no_film():
     _run_case(1, 192, 128, 64, 1, False, jnp.float32, 64, 2e-4)
+
+
+def test_sync_dma_path():
+    _run_case(2, 256, 64, 64, 2, True, jnp.float32, 64, 2e-4,
+              pipelined=False)
 
 
 def test_dilation_4_multi_tile():

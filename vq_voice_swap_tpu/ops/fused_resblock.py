@@ -80,7 +80,7 @@ def _kernel(
     k2_ref, k2b_ref, ks_ref, ksb_ref, out_ref,
     xbuf, obuf, s2sum, s2sq, sem_in, sem_out,
     *, tile, t_total, cin, cout, g2, dilation, eps, has_skip, has_film,
-    out_dtype,
+    out_dtype, pipelined,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -88,44 +88,81 @@ def _kernel(
     p = pl.program_id(0)
     n = pl.program_id(1)
     j = pl.program_id(2)
+    nn = pl.num_programs(1)
     nj = pl.num_programs(2)
     t0 = j * tile
     L = tile + 2 * HALO
 
-    # ---- fetch x[n, t0-HALO : t0+tile+HALO] with edge clamping ---------
-    @pl.when(j == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_ref.at[n, pl.ds(0, tile + HALO), :],
-            xbuf.at[pl.ds(HALO, tile + HALO), :],
-            sem_in,
+    def fetch_dma(slot_, n_, j_, case):
+        """The x[n_, j_*tile-HALO : +L] copy, edge-clamped. ``case`` selects
+        the statically-shaped variant: 0=first tile, 1=last, 2=interior.
+        (wait() must use the same descriptor shape the start used.)"""
+        t0_ = j_ * tile
+        if case == 0:
+            return pltpu.make_async_copy(
+                x_ref.at[n_, pl.ds(0, tile + HALO), :],
+                xbuf.at[slot_, pl.ds(HALO, tile + HALO), :],
+                sem_in.at[slot_],
+            )
+        if case == 1:
+            return pltpu.make_async_copy(
+                x_ref.at[n_, pl.ds(t0_ - HALO, tile + HALO), :],
+                xbuf.at[slot_, pl.ds(0, tile + HALO), :],
+                sem_in.at[slot_],
+            )
+        return pltpu.make_async_copy(
+            x_ref.at[n_, pl.ds(t0_ - HALO, L), :], xbuf.at[slot_],
+            sem_in.at[slot_],
         )
-        cp.start()
-        cp.wait()
 
-    @pl.when(j == nj - 1)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_ref.at[n, pl.ds(t0 - HALO, tile + HALO), :],
-            xbuf.at[pl.ds(0, tile + HALO), :],
-            sem_in,
-        )
-        cp.start()
-        cp.wait()
+    def for_cases(j_, fn):
+        @pl.when(j_ == 0)
+        def _():
+            fn(0)
 
-    @pl.when(jnp.logical_and(j != 0, j != nj - 1))
-    def _():
-        cp = pltpu.make_async_copy(
-            x_ref.at[n, pl.ds(t0 - HALO, L), :], xbuf, sem_in
-        )
-        cp.start()
-        cp.wait()
+        @pl.when(j_ == nj - 1)
+        def _():
+            fn(1)
+
+        @pl.when(jnp.logical_and(j_ != 0, j_ != nj - 1))
+        def _():
+            fn(2)
+
+    gidx = (p * nn + n) * nj + j  # global sequential iteration index
+    if pipelined:
+        slot = jax.lax.rem(gidx, 2)
+
+        @pl.when(gidx == 0)
+        def _():
+            for_cases(j, lambda c: fetch_dma(slot, n, j, c).start())
+
+        # Prefetch the next iteration's tile into the other slot while this
+        # tile computes. Passes iterate the same (n, j) sequence, so the
+        # cross-pass wrap lands on (0, 0); the very last iteration starts
+        # no prefetch (it would never be waited).
+        j1 = jax.lax.rem(j + 1, nj)
+        n1 = jax.lax.rem(n + (j + 1) // nj, nn)
+
+        @pl.when(gidx != 2 * nn * nj - 1)
+        def _():
+            for_cases(j1, lambda c: fetch_dma(1 - slot, n1, j1, c).start())
+
+        for_cases(j, lambda c: fetch_dma(slot, n, j, c).wait())
+    else:
+        slot = 0
+
+        def run(c):
+            cp = fetch_dma(0, n, j, c)
+            cp.start()
+            cp.wait()
+
+        for_cases(j, run)
 
     # ---- gelu(norm1(x)), masked to zero outside [0, T) ------------------
     # (the reference zero-pads the *normalized* activations before conv_in)
     pos = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) + (t0 - HALO)
     valid = jnp.logical_and(pos >= 0, pos < t_total)
-    xb = xbuf[:].astype(jnp.float32)
+    xb = xbuf[slot].astype(jnp.float32)
     g = jax.nn.gelu(xb * a1_ref[0][None, :] + b1_ref[0][None, :],
                     approximate=False)
     g = jnp.where(valid, g, 0.0).astype(xbuf.dtype)
@@ -174,29 +211,51 @@ def _kernel(
             out = out + jnp.dot(z[tap * d:tap * d + tile], k2_ref[tap],
                                 preferred_element_type=jnp.float32)
 
-        x_tile = xbuf[HALO:HALO + tile, :]
+        x_tile = xbuf[slot, HALO:HALO + tile, :]
         if has_skip:
             skip = ksb_ref[0].astype(jnp.float32)[None, :] + jnp.dot(
                 x_tile, ks_ref[:], preferred_element_type=jnp.float32)
         else:
             skip = x_tile.astype(jnp.float32)
-        obuf[:] = (skip + out).astype(out_dtype)
 
-        cp = pltpu.make_async_copy(
-            obuf, out_ref.at[n, pl.ds(t0, tile), :], sem_out
-        )
-        cp.start()
-        cp.wait()
+        def out_dma(slot_):
+            # All output copies have identical byte counts, so waiting with
+            # the current coordinates drains whichever copy is pending on
+            # that slot/semaphore.
+            return pltpu.make_async_copy(
+                obuf.at[slot_], out_ref.at[n, pl.ds(t0, tile), :],
+                sem_out.at[slot_],
+            )
+
+        if pipelined:
+            ipass = n * nj + j
+
+            @pl.when(ipass >= 2)
+            def _():  # drain the copy issued 2 iterations ago on this slot
+                out_dma(slot).wait()
+
+            obuf[slot] = (skip + out).astype(out_dtype)
+            out_dma(slot).start()
+
+            @pl.when(ipass == nn * nj - 1)
+            def _():  # final drain of both slots
+                out_dma(slot).wait()
+                out_dma(1 - slot).wait()
+        else:
+            obuf[slot] = (skip + out).astype(out_dtype)
+            cp = out_dma(slot)
+            cp.start()
+            cp.wait()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("groups_in", "groups_out", "dilation", "eps", "tile",
-                     "interpret"),
+                     "interpret", "pipelined"),
 )
 def _fused_call(x, scale1, bias1, k1, k1b, scale2, bias2, af, bf, k2, k2b,
                 ks, ksb, groups_in, groups_out, dilation, eps, tile,
-                interpret):
+                interpret, pipelined):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -226,7 +285,7 @@ def _fused_call(x, scale1, bias1, k1, k1b, scale2, bias2, af, bf, k2, k2b,
     kernel = functools.partial(
         _kernel, tile=tile, t_total=t, cin=cin, cout=cout, g2=groups_out,
         dilation=dilation, eps=eps, has_skip=has_skip, has_film=has_film,
-        out_dtype=x.dtype,
+        out_dtype=x.dtype, pipelined=pipelined,
     )
     def whole(shape):
         return pl.BlockSpec(shape, lambda p, n_, j: tuple(0 for _ in shape),
@@ -253,12 +312,12 @@ def _fused_call(x, scale1, bias1, k1, k1b, scale2, bias2, af, bf, k2, k2b,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, t, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * HALO, cin), wdt),        # xbuf
-            pltpu.VMEM((tile, cout), x.dtype),              # obuf
+            pltpu.VMEM((2, tile + 2 * HALO, cin), wdt),     # xbuf (2 slots)
+            pltpu.VMEM((2, tile, cout), x.dtype),           # obuf (2 slots)
             pltpu.VMEM((n, cout), jnp.float32),             # stats2 sum
             pltpu.VMEM((n, cout), jnp.float32),             # stats2 sumsq
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
@@ -287,6 +346,7 @@ def fused_resblock(
     eps: float = 1e-5,
     tile: Optional[int] = None,
     interpret: bool = False,
+    pipelined: bool = True,
 ) -> jnp.ndarray:
     """Same-resolution ResBlock forward from its flax param subtree.
 
@@ -321,5 +381,5 @@ def fused_resblock(
         params["conv_out"]["conv"]["bias"],
         sp["conv"]["kernel"] if sp is not None else None,
         sp["conv"]["bias"] if sp is not None else None,
-        groups_in, groups_out, dilation, eps, tile, interpret,
+        groups_in, groups_out, dilation, eps, tile, interpret, pipelined,
     )
