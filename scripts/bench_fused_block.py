@@ -68,12 +68,41 @@ def run_shape(t, cin, cout, dilation=2, dtype=jnp.bfloat16):
     print(f"  speedup {a / b:5.2f}x   max|diff| {diff:.3e}")
 
 
+def run_two_input(t, c, dtype=jnp.bfloat16):
+    """Up-path block: fused-with-x2 (no concat materialisation) vs XLA on
+    the materialised concat."""
+    rng = np.random.RandomState(1)
+    h = jnp.asarray(rng.randn(N, t, c), dtype)
+    skip = jnp.asarray(rng.randn(N, t, c), dtype)
+    emb = jnp.asarray(rng.randn(N, EMB), dtype)
+    block = ResBlock(out_channels=c, use_emb=True, dilation=2, dtype=dtype)
+    params = block.init(
+        jax.random.key(0), jnp.concatenate([h, skip], -1), emb
+    )["params"]
+    params = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, p.dtype), params
+    )
+    xla = jax.jit(lambda a, b: block.apply(
+        {"params": params}, jnp.concatenate([a, b], -1), emb))
+    fused = jax.jit(lambda a, b: fused_resblock(
+        a, params, emb, groups_in=adaptive_group_count(2 * c),
+        groups_out=adaptive_group_count(c), dilation=2, x2=b))
+    name = f"[{N},{t},{c}+{c}->{c}] concat"
+    a = bench(f"xla        {name}", xla, h, skip)
+    b = bench(f"fused x2   {name}", fused, h, skip)
+    diff = float(jnp.abs(
+        xla(h, skip).astype(jnp.float32) - fused(h, skip).astype(jnp.float32)
+    ).max())
+    print(f"  speedup {a / b:5.2f}x   max|diff| {diff:.3e}")
+
+
 def main():
     run_shape(64000, 64, 64)        # level-0 down block
     run_shape(64000, 128, 64)       # level-0 up block (concat input)
     run_shape(32000, 64, 64)        # level-1 down block
     run_shape(16000, 128, 128)      # level-2
     run_shape(64000, 64, 64, dilation=1)
+    run_two_input(64000, 64)        # level-0 up block, halves kept apart
 
 
 if __name__ == "__main__":

@@ -59,6 +59,29 @@ def test_sync_dma_path():
               pipelined=False)
 
 
+def test_two_input_concat_equivalence():
+    """x2 path == ResBlock on the materialised concat (up-path case)."""
+    rng = np.random.RandomState(7)
+    h = jnp.asarray(rng.randn(2, 256, 64), jnp.float32)
+    skip = jnp.asarray(rng.randn(2, 256, 64), jnp.float32)
+    emb = jnp.asarray(rng.randn(2, 24), jnp.float32)
+    block = ResBlock(out_channels=64, use_emb=True, dilation=2)
+    cat = jnp.concatenate([h, skip], axis=-1)
+    params = block.init(jax.random.key(0), cat, emb)["params"]
+    params = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 0.2, p.dtype), params
+    )
+    want = block.apply({"params": params}, cat, emb)
+    got = fused_resblock(
+        h, params, emb, groups_in=adaptive_group_count(128),
+        groups_out=adaptive_group_count(64), dilation=2, tile=64,
+        interpret=True, x2=skip,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_dilation_4_multi_tile():
     _run_case(2, 384, 64, 64, 4, True, jnp.float32, 128, 2e-4)
 

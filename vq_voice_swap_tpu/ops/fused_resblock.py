@@ -75,15 +75,24 @@ def _group_affine(sums, sqs, scale, bias, groups, count, eps):
 
 
 def _kernel(
-    # refs: x (ANY), per-n norm1 affine, weights, film, out (ANY), scratch
-    x_ref, a1_ref, b1_ref, k1_ref, k1b_ref, s2_ref, b2n_ref, af_ref, bf_ref,
-    k2_ref, k2b_ref, ks_ref, ksb_ref, out_ref,
-    xbuf, obuf, s2sum, s2sq, sem_in, sem_out,
-    *, tile, t_total, cin, cout, g2, dilation, eps, has_skip, has_film,
-    out_dtype, pipelined,
+    # refs: x halves (ANY), per-n norm1 affine, weights, film, out (ANY),
+    # then scratch. ``halves`` gives the channel width of each x input —
+    # multiple inputs execute the block on their channel CONCAT without the
+    # concat ever being materialised in HBM (up-path skip connections).
+    *refs, tile, t_total, cin, cout, g2, dilation, eps, has_skip, has_film,
+    out_dtype, pipelined, halves,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    nx = len(halves)
+    x_refs = refs[:nx]
+    (a1_ref, b1_ref, k1_ref, k1b_ref, s2_ref, b2n_ref, af_ref, bf_ref,
+     k2_ref, k2b_ref, ks_ref, ksb_ref, out_ref) = refs[nx:nx + 13]
+    xbuf, obuf, s2sum, s2sq, sem_in, sem_out = refs[nx + 13:]
+    offs = [0]
+    for h_ in halves:
+        offs.append(offs[-1] + h_)
 
     p = pl.program_id(0)
     n = pl.program_id(1)
@@ -93,26 +102,31 @@ def _kernel(
     t0 = j * tile
     L = tile + 2 * HALO
 
-    def fetch_dma(slot_, n_, j_, case):
-        """The x[n_, j_*tile-HALO : +L] copy, edge-clamped. ``case`` selects
-        the statically-shaped variant: 0=first tile, 1=last, 2=interior.
-        (wait() must use the same descriptor shape the start used.)"""
+    def fetch_dma(slot_, n_, j_, case, hi):
+        """The x_refs[hi][n_, j_*tile-HALO : +L] copy into this half's lane
+        range, edge-clamped. ``case`` selects the statically-shaped variant:
+        0=first tile, 1=last, 2=interior. (wait() must use the same
+        descriptor shape the start used.)"""
         t0_ = j_ * tile
+        xr = x_refs[hi]
+        cs = pl.ds(offs[hi], halves[hi])
+        sem = sem_in.at[slot_, hi]
         if case == 0:
             return pltpu.make_async_copy(
-                x_ref.at[n_, pl.ds(0, tile + HALO), :],
-                xbuf.at[slot_, pl.ds(HALO, tile + HALO), :],
-                sem_in.at[slot_],
+                xr.at[n_, pl.ds(0, tile + HALO), :],
+                xbuf.at[slot_, pl.ds(HALO, tile + HALO), cs],
+                sem,
             )
         if case == 1:
             return pltpu.make_async_copy(
-                x_ref.at[n_, pl.ds(t0_ - HALO, tile + HALO), :],
-                xbuf.at[slot_, pl.ds(0, tile + HALO), :],
-                sem_in.at[slot_],
+                xr.at[n_, pl.ds(t0_ - HALO, tile + HALO), :],
+                xbuf.at[slot_, pl.ds(0, tile + HALO), cs],
+                sem,
             )
         return pltpu.make_async_copy(
-            x_ref.at[n_, pl.ds(t0_ - HALO, L), :], xbuf.at[slot_],
-            sem_in.at[slot_],
+            xr.at[n_, pl.ds(t0_ - HALO, L), :],
+            xbuf.at[slot_, pl.ds(0, L), cs],
+            sem,
         )
 
     def for_cases(j_, fn):
@@ -128,13 +142,21 @@ def _kernel(
         def _():
             fn(2)
 
+    def fetch_all(slot_, n_, j_, op):
+        for hi in range(nx):
+            for_cases(
+                j_, lambda c, hi=hi: getattr(
+                    fetch_dma(slot_, n_, j_, c, hi), op
+                )()
+            )
+
     gidx = (p * nn + n) * nj + j  # global sequential iteration index
     if pipelined:
         slot = jax.lax.rem(gidx, 2)
 
         @pl.when(gidx == 0)
         def _():
-            for_cases(j, lambda c: fetch_dma(slot, n, j, c).start())
+            fetch_all(slot, n, j, "start")
 
         # Prefetch the next iteration's tile into the other slot while this
         # tile computes. Passes iterate the same (n, j) sequence, so the
@@ -145,18 +167,13 @@ def _kernel(
 
         @pl.when(gidx != 2 * nn * nj - 1)
         def _():
-            for_cases(j1, lambda c: fetch_dma(1 - slot, n1, j1, c).start())
+            fetch_all(1 - slot, n1, j1, "start")
 
-        for_cases(j, lambda c: fetch_dma(slot, n, j, c).wait())
+        fetch_all(slot, n, j, "wait")
     else:
         slot = 0
-
-        def run(c):
-            cp = fetch_dma(0, n, j, c)
-            cp.start()
-            cp.wait()
-
-        for_cases(j, run)
+        fetch_all(0, n, j, "start")
+        fetch_all(0, n, j, "wait")
 
     # ---- gelu(norm1(x)), masked to zero outside [0, T) ------------------
     # (the reference zero-pads the *normalized* activations before conv_in)
@@ -248,45 +265,56 @@ def _kernel(
             cp.wait()
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("groups_in", "groups_out", "dilation", "eps", "tile",
-                     "interpret", "pipelined"),
-)
-def _fused_call(x, scale1, bias1, k1, k1b, scale2, bias2, af, bf, k2, k2b,
-                ks, ksb, groups_in, groups_out, dilation, eps, tile,
-                interpret, pipelined):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, t, cin = x.shape
-    cout = k1.shape[-1]
-
-    # GroupNorm-1 statistics outside the kernel: dot-product reductions hit
-    # the MXU at memory speed (see fused_norm.matmul_group_norm), and the
-    # folded per-channel affine rides into the kernel as a tiny [N, C] pair.
+def _channel_stats(x):
+    """Per-channel f32 sum / sum-of-squares of [N, T, C] via MXU dots (see
+    fused_norm.matmul_group_norm for why these beat XLA's reduce here)."""
+    n, t, c = x.shape
     ones = jnp.ones((8, t), x.dtype)
-    sums1 = jax.lax.dot_general(
+    sums = jax.lax.dot_general(
         ones, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)[0]
     gram = jax.lax.dot_general(
         x, x, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    sqs1 = jnp.diagonal(gram, axis1=1, axis2=2)
+    return sums, jnp.diagonal(gram, axis1=1, axis2=2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups_in", "groups_out", "dilation", "eps", "tile",
+                     "interpret", "pipelined"),
+)
+def _fused_call(xs, scale1, bias1, k1, k1b, scale2, bias2, af, bf, k2, k2b,
+                ks, ksb, groups_in, groups_out, dilation, eps, tile,
+                interpret, pipelined):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    halves = tuple(xx.shape[-1] for xx in xs)
+    n, t = xs[0].shape[:2]
+    cin = sum(halves)
+    cout = k1.shape[-1]
+
+    # GroupNorm-1 statistics outside the kernel, per input half; the folded
+    # per-channel affine rides into the kernel as a tiny [N, C] pair.
+    stats = [_channel_stats(xx) for xx in xs]
+    sums1 = jnp.concatenate([s for s, _ in stats], axis=-1)
+    sqs1 = jnp.concatenate([q for _, q in stats], axis=-1)
     a1, b1 = jax.vmap(
         _group_affine, in_axes=(0, 0, None, None, None, None, None)
     )(sums1, sqs1, scale1, bias1, groups_in, t * (cin // groups_in), eps)
 
     has_film = af is not None
     has_skip = ks is not None
-    wdt = x.dtype
+    wdt = xs[0].dtype
     zeros_c = jnp.zeros((n, cout), jnp.float32)
 
     kernel = functools.partial(
         _kernel, tile=tile, t_total=t, cin=cin, cout=cout, g2=groups_out,
         dilation=dilation, eps=eps, has_skip=has_skip, has_film=has_film,
-        out_dtype=x.dtype, pipelined=pipelined,
+        out_dtype=wdt, pipelined=pipelined, halves=halves,
     )
+
     def whole(shape):
         return pl.BlockSpec(shape, lambda p, n_, j: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
@@ -294,8 +322,7 @@ def _fused_call(x, scale1, bias1, k1, k1b, scale2, bias2, af, bf, k2, k2b,
     out = pl.pallas_call(
         kernel,
         grid=(2, n, t // tile),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # x
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xs) + [  # x halves
             pl.BlockSpec((1, cin), lambda p, n_, j: (n_, 0)),   # a1
             pl.BlockSpec((1, cin), lambda p, n_, j: (n_, 0)),   # b1
             whole((3, cin, cout)),                          # k1
@@ -310,18 +337,18 @@ def _fused_call(x, scale1, bias1, k1, k1b, scale2, bias2, af, bf, k2, k2b,
             whole((1, cout)),                               # skip proj bias
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n, t, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, t, cout), wdt),
         scratch_shapes=[
             pltpu.VMEM((2, tile + 2 * HALO, cin), wdt),     # xbuf (2 slots)
-            pltpu.VMEM((2, tile, cout), x.dtype),           # obuf (2 slots)
+            pltpu.VMEM((2, tile, cout), wdt),               # obuf (2 slots)
             pltpu.VMEM((n, cout), jnp.float32),             # stats2 sum
             pltpu.VMEM((n, cout), jnp.float32),             # stats2 sumsq
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, len(xs))),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
-        x, a1, b1,
+        *xs, a1, b1,
         k1.astype(wdt), k1b[None, :].astype(jnp.float32),
         scale2[None, :].astype(jnp.float32),
         bias2[None, :].astype(jnp.float32),
@@ -347,16 +374,30 @@ def fused_resblock(
     tile: Optional[int] = None,
     interpret: bool = False,
     pipelined: bool = True,
+    x2: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Same-resolution ResBlock forward from its flax param subtree.
 
     ``params`` is the ResBlock param tree (norm_in/conv_in/norm_mid/
     [cond_proj]/conv_out/[skip_proj]); ``emb`` is the [N, E] conditioning
-    embedding (None for encoder blocks without FiLM).
+    embedding (None for encoder blocks without FiLM). When ``x2`` is given,
+    the block runs on concat([x, x2], -1) WITHOUT materialising the concat
+    (the kernel DMAs each half into adjacent lane ranges) — the up-path
+    skip-connection case. GroupNorm groups must not straddle the boundary:
+    x.shape[-1] must be a multiple of the group size.
     """
     if tile is None:
         tile = pick_seq_tile(x.shape[1])
         assert tile is not None, f"no valid tile for T={x.shape[1]}"
+    xs = (x,) if x2 is None else (x, x2)
+    cin_total = sum(xx.shape[-1] for xx in xs)
+    assert cin_total % groups_in == 0
+    if x2 is not None:
+        gsize = cin_total // groups_in
+        assert x.shape[-1] % gsize == 0, (
+            f"concat boundary {x.shape[-1]} straddles a GroupNorm group "
+            f"of size {gsize}"
+        )
 
     if emb is not None:
         cond = jax.nn.gelu(emb.astype(jnp.float32), approximate=False)
@@ -369,7 +410,7 @@ def fused_resblock(
 
     sp = params.get("skip_proj")
     return _fused_call(
-        x,
+        xs,
         params["norm_in"]["norm"]["scale"].astype(jnp.float32),
         params["norm_in"]["norm"]["bias"].astype(jnp.float32),
         params["conv_in"]["conv"]["kernel"],

@@ -249,6 +249,22 @@ def packed_unet_predict(
             dilation=dilation,
         )
 
+    def same_res_concat(h, skip_h, bparams, gi, go, depth):
+        """Up-path block on concat([h, skip], -1); the megakernel takes the
+        halves separately so the concat is never materialised in HBM."""
+        cin = h.shape[-1] + skip_h.shape[-1]
+        if (depth < fuse_levels and not packed_at(depth)
+                and h.shape[-1] % max(1, cin // gi) == 0):
+            probe = jax.ShapeDtypeStruct((h.shape[0], h.shape[1], cin),
+                                         h.dtype)
+            if fused_resblock_supported(probe, 2):
+                return fused_resblock(
+                    h, bparams, emb, groups_in=gi, groups_out=go, x2=skip_h,
+                )
+        return same_res(
+            jnp.concatenate([h, skip_h], axis=-1), bparams, gi, go, depth
+        )
+
     if packed_at(0):
         h = _packed_conv(_pack(x), params["in_conv"]["conv"])
     else:
@@ -295,9 +311,8 @@ def packed_unet_predict(
         for _ in range(predictor.depth_mult + 1):
             skip_h = skips.pop()
             skip_w = widths.pop()
-            h = jnp.concatenate([h, skip_h], axis=-1)
-            h = same_res(
-                h, params[f"up_blocks_{ui}"],
+            h = same_res_concat(
+                h, skip_h, params[f"up_blocks_{ui}"],
                 groups_at(cur + skip_w), groups_at(mult * ch), depth,
             )
             cur = mult * ch
