@@ -23,15 +23,19 @@ N = 16
 EMB = 256
 
 
-def bench(label, fn, *args, repeats=3):
+def bench(label, fn, *args, repeats=3, inner=20):
+    # fn returns a device SCALAR (sum of the block output): fetching the
+    # full [N, T, C] output through the tunnel costs ~20 s and would swamp
+    # the measurement. ``inner`` chained applications amortise dispatch.
     np.asarray(fn(*args))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         np.asarray(fn(*args))
         times.append(time.perf_counter() - t0)
-    print(f"{label:40s} {min(times) * 1e3:8.3f} ms")
-    return min(times)
+    ms = min(times) * 1e3 / inner
+    print(f"{label:40s} {ms:8.3f} ms")
+    return ms
 
 
 def run_shape(t, cin, cout, dilation=2, dtype=jnp.bfloat16):
@@ -45,26 +49,40 @@ def run_shape(t, cin, cout, dilation=2, dtype=jnp.bfloat16):
         lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, p.dtype), params
     )
 
-    xla = jax.jit(lambda xx: block.apply({"params": params}, xx, emb))
+    INNER = 20
 
-    def make_fused(pipelined):
-        return jax.jit(
-            lambda xx: fused_resblock(
-                xx, params, emb,
-                groups_in=adaptive_group_count(cin),
-                groups_out=adaptive_group_count(cout),
-                dilation=dilation, pipelined=pipelined,
-            )
+    def chain(f):
+        # 20 chained block applications in one program; data-dependent so
+        # XLA cannot elide any, reduced to a scalar at the end.
+        @jax.jit
+        def run(xx):
+            def body(h, _):
+                out = f(h)
+                return (out if cin == cout
+                        else jnp.concatenate([out, out], -1)[..., :cin]), 0.0
+            h, _ = jax.lax.scan(body, xx, None, length=INNER)
+            return jnp.sum(h.astype(jnp.float32))
+        return run
+
+    xla = chain(lambda xx: block.apply({"params": params}, xx, emb))
+
+    fused = chain(
+        lambda xx: fused_resblock(
+            xx, params, emb,
+            groups_in=adaptive_group_count(cin),
+            groups_out=adaptive_group_count(cout),
+            dilation=dilation,
         )
-
-    fused = make_fused(True)
+    )
     name = f"[{N},{t},{cin}->{cout}] d={dilation}"
-    a = bench(f"xla        {name}", xla, x)
-    b = bench(f"fused pipe {name}", fused, x)
-    bench(f"fused sync {name}", make_fused(False), x)
-    diff = float(jnp.abs(
-        xla(x).astype(jnp.float32) - fused(x).astype(jnp.float32)
-    ).max())
+    a = bench(f"xla        {name}", xla, x, inner=INNER)
+    b = bench(f"fused      {name}", fused, x, inner=INNER)
+    one_x = jax.jit(lambda xx: block.apply({"params": params}, xx, emb))
+    one_f = jax.jit(lambda xx: fused_resblock(
+        xx, params, emb, groups_in=adaptive_group_count(cin),
+        groups_out=adaptive_group_count(cout), dilation=dilation))
+    diff = float(jnp.max(jnp.abs(
+        one_x(x).astype(jnp.float32) - one_f(x).astype(jnp.float32))))
     print(f"  speedup {a / b:5.2f}x   max|diff| {diff:.3e}")
 
 
@@ -82,17 +100,32 @@ def run_two_input(t, c, dtype=jnp.bfloat16):
     params = jax.tree.map(
         lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, p.dtype), params
     )
-    xla = jax.jit(lambda a, b: block.apply(
+    INNER = 20
+
+    def chain2(f):
+        @jax.jit
+        def run(a, b):
+            hh, _ = jax.lax.scan(lambda carry, _: (f(carry, b), 0.0),
+                                 a, None, length=INNER)
+            return jnp.sum(hh.astype(jnp.float32))
+        return run
+
+    xla = chain2(lambda a, b: block.apply(
         {"params": params}, jnp.concatenate([a, b], -1), emb))
-    fused = jax.jit(lambda a, b: fused_resblock(
+    fused = chain2(lambda a, b: fused_resblock(
         a, params, emb, groups_in=adaptive_group_count(2 * c),
         groups_out=adaptive_group_count(c), dilation=2, x2=b))
     name = f"[{N},{t},{c}+{c}->{c}] concat"
-    a = bench(f"xla        {name}", xla, h, skip)
-    b = bench(f"fused x2   {name}", fused, h, skip)
-    diff = float(jnp.abs(
-        xla(h, skip).astype(jnp.float32) - fused(h, skip).astype(jnp.float32)
-    ).max())
+    a = bench(f"xla        {name}", xla, h, skip, inner=INNER)
+    b = bench(f"fused x2   {name}", fused, h, skip, inner=INNER)
+    one_x = jax.jit(lambda a, b: block.apply(
+        {"params": params}, jnp.concatenate([a, b], -1), emb))
+    one_f = jax.jit(lambda a, b: fused_resblock(
+        a, params, emb, groups_in=adaptive_group_count(2 * c),
+        groups_out=adaptive_group_count(c), dilation=2, x2=b))
+    diff = float(jnp.max(jnp.abs(
+        one_x(h, skip).astype(jnp.float32)
+        - one_f(h, skip).astype(jnp.float32))))
     print(f"  speedup {a / b:5.2f}x   max|diff| {diff:.3e}")
 
 

@@ -19,14 +19,20 @@ import numpy as np
 
 from vq_voice_swap_tpu.diffusion import make_warp
 from vq_voice_swap_tpu.diffusion_model import DiffusionModel
-from vq_voice_swap_tpu.ops.packed_unet import packed_unet_predict
+from vq_voice_swap_tpu.ops.packed_unet import (
+    pack_unet_params,
+    packed_unet_predict,
+)
 
 SAMPLE_LEN = 64000
 STEPS = 50
 BATCH = 16
 
 
-def timed(label, fn, *args, repeats=2):
+def timed(label, fn, *args, repeats=2, steps=STEPS):
+    # All timed fns return a device SCALAR: fetching the full sample tensor
+    # through the tunnel costs ~1 s and would pollute the measurement. The
+    # remaining wall time is device compute + one dispatch (~0.1 s, noted).
     np.asarray(fn(*args))  # warm (compile + program load)
     times = []
     for _ in range(repeats):
@@ -35,7 +41,7 @@ def timed(label, fn, *args, repeats=2):
         times.append(time.perf_counter() - start)
     best = min(times)
     tput = BATCH * SAMPLE_LEN / best
-    print(f"{label:34s} {best * 1e3 / STEPS:8.2f} ms/step  "
+    print(f"{label:34s} {best * 1e3 / steps:8.2f} ms/step  "
           f"{tput:12.0f} samples/s")
     return best
 
@@ -50,10 +56,11 @@ def main():
         def sample(variables, rng):
             noise_rng, samp_rng = jax.random.split(rng)
             x_T = jax.random.normal(noise_rng, (BATCH, SAMPLE_LEN, 1))
-            return model.diffusion.ddpm_sample(
+            out = model.diffusion.ddpm_sample(
                 x_T, lambda xs, ts: pred_fn(variables, xs, ts),
                 steps=STEPS, rng=samp_rng, warp=warp,
             )
+            return jnp.sum(out.astype(jnp.float32))
         return jax.jit(sample)
 
     def baseline_pred(variables, xs, ts):
@@ -67,16 +74,30 @@ def main():
             )
         return pred
 
-    # Single-forward comparison first (isolates the model from the scan).
-    xs = jnp.zeros((BATCH, SAMPLE_LEN, 1), jnp.float32)
+    # Chained-forward comparison first (isolates the model from the
+    # sampling update): INNER data-dependent forwards in one program,
+    # reduced to a scalar on device.
+    INNER = 20
+    rng0 = np.random.RandomState(0)
+    xs = jnp.asarray(rng0.randn(BATCH, SAMPLE_LEN, 1), jnp.float32)
     ts = jnp.full((BATCH,), 0.5, jnp.float32)
-    fwd_base = jax.jit(lambda v: baseline_pred(v, xs, ts))
-    timed("forward baseline", fwd_base, variables)
+
+    def chain(pred_fn):
+        @jax.jit
+        def run(v):
+            def body(h, _):
+                return pred_fn(v, h, ts).astype(h.dtype), 0.0
+            h, _ = jax.lax.scan(body, xs, None, length=INNER)
+            return jnp.sum(h.astype(jnp.float32))
+        return run
+
+    timed("forward baseline", chain(baseline_pred), variables, steps=INNER)
     for k in (1, 2):
-        fwd_p = jax.jit(lambda v, kk=k: packed_pred_k(kk)(v, xs, ts))
-        timed(f"forward packed k={k}", fwd_p, variables)
+        timed(f"forward packed k={k}", chain(packed_pred_k(k)), variables,
+              steps=INNER)
 
     # Numerical sanity in bf16: packed vs baseline forward.
+    fwd_base = jax.jit(lambda v: baseline_pred(v, xs, ts))
     b = np.asarray(fwd_base(variables), np.float32)
     p = np.asarray(
         jax.jit(lambda v: packed_pred_k(2)(v, xs, ts))(variables), np.float32
@@ -89,6 +110,32 @@ def main():
     for k in (1, 2):
         timed(f"50-step sampling packed k={k}",
               make_sampler(packed_pred_k(k)), variables, jax.random.key(1))
+
+    # Prepacked weights: kernel repacking hoisted out of the sampling scan.
+    def make_prepacked_sampler(k):
+        def sample(variables, rng):
+            prep = pack_unet_params(
+                model.predictor, variables["params"]["predictor"],
+                pack_levels=k,
+            )
+
+            def pred(xs, ts):
+                return packed_unet_predict(
+                    model.predictor, variables["params"]["predictor"],
+                    xs, ts, pack_levels=k, prepacked=prep,
+                )
+
+            noise_rng, samp_rng = jax.random.split(rng)
+            x_T = jax.random.normal(noise_rng, (BATCH, SAMPLE_LEN, 1))
+            out = model.diffusion.ddpm_sample(
+                x_T, pred, steps=STEPS, rng=samp_rng, warp=warp,
+            )
+            return jnp.sum(out.astype(jnp.float32))
+        return jax.jit(sample)
+
+    for k in (1, 2):
+        timed(f"50-step sampling prepacked k={k}",
+              make_prepacked_sampler(k), variables, jax.random.key(1))
 
     # Fused ResBlock megakernel variants (ops/fused_resblock.py).
     def fused_pred_k(k):
@@ -104,7 +151,9 @@ def main():
         jax.jit(lambda v: fused_pred_k(2)(v, xs, ts))(variables), np.float32
     )
     print(f"fused-vs-baseline forward max|diff| = {np.abs(b - f).max():.3e}")
-    for k in (1, 2, 3):
+    for k in (1, 2):
+        timed(f"forward fused k={k}", chain(fused_pred_k(k)), variables,
+              steps=INNER)
         timed(f"50-step sampling fused k={k}",
               make_sampler(fused_pred_k(k)), variables, jax.random.key(1))
 

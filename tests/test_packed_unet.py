@@ -11,6 +11,7 @@ from vq_voice_swap_tpu.ops.packed_unet import (
     _pack,
     _unpack,
     pack_conv_kernel,
+    pack_unet_params,
     packed_unet_predict,
 )
 
@@ -48,6 +49,7 @@ def test_packed_conv_kernel_exact(k, dilation):
 
 
 @pytest.mark.parametrize("pack_levels", [1, 2])
+@pytest.mark.slow
 def test_packed_unet_matches_standard(pack_levels):
     pred = UNetPredictor(
         base_channels=4, channel_mult=(1, 1, 2), middle_dilations=(2, 4),
@@ -78,6 +80,51 @@ def test_packed_unet_matches_standard(pack_levels):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
+def test_prepacked_weights_match_inline_packing():
+    """pack_unet_params + prepacked= must equal inline repacking (and the
+    standard forward), including inside a scan like ddpm_sample's."""
+    pred = UNetPredictor(
+        base_channels=4, channel_mult=(1, 1, 2), middle_dilations=(2, 4),
+        depth_mult=1, num_labels=3,
+    )
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 1), jnp.float32)
+    ts = jnp.asarray([0.3, 0.8], jnp.float32)
+    labels = jnp.asarray([0, 2])
+    variables = jax.jit(
+        lambda r: pred.init(r, x, ts, labels=labels)
+    )(jax.random.key(2))
+    params = variables["params"]
+
+    want = np.asarray(
+        jax.jit(lambda v: pred.apply(v, x, ts, labels=labels))(variables)
+    )
+
+    @jax.jit
+    def scanned(p):
+        prep = pack_unet_params(pred, p, pack_levels=2)
+
+        def body(h, _):
+            out = packed_unet_predict(
+                pred, p, h, ts, labels=labels, pack_levels=2, prepacked=prep
+            )
+            return out, out
+
+        _, outs = jax.lax.scan(body, x, None, length=2)
+        return outs[0]
+
+    got = np.asarray(scanned(params))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    # Every packed conv was served from the prepacked dict: recording a
+    # fresh dict finds the same key set.
+    prep = pack_unet_params(pred, params, pack_levels=2)
+    assert "in_conv" in prep and "out_conv" in prep
+    assert any(k.startswith("down_blocks_") for k in prep)
+    assert any(k.startswith("up_blocks_") for k in prep)
+
+
+@pytest.mark.slow
 def test_packed_unet_unconditional():
     pred = UNetPredictor(
         base_channels=4, channel_mult=(1, 2), middle_dilations=(2,),

@@ -139,6 +139,7 @@ def test_seq_conv_stack_jits_end_to_end():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_seq_parallel_unet_predictor_matches_unsharded():
     """The time-sharded UNetPredictor (FiLM time/class conditioning, cond
     injection, skip concats, dilated middle blocks) must reproduce the
@@ -176,6 +177,7 @@ def test_seq_parallel_unet_predictor_matches_unsharded():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_seq_parallel_unet_predictor_unconditional():
     """No-cond / no-labels variant (plain diffusion sampling path)."""
     from vq_voice_swap_tpu.models import UNetPredictor

@@ -61,6 +61,7 @@ def _tiny_vqvae_ckpt(path, num_labels=None):
     return model, variables
 
 
+@pytest.mark.slow
 def test_classifier_train_loop(tmp_path, monkeypatch):
     _patch_loader(monkeypatch)
 

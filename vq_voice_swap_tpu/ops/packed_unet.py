@@ -26,6 +26,12 @@ UNet uses at those levels commutes with the packing:
 Weights are repacked from the UNMODIFIED checkpoint params at trace time
 (tiny arrays); results match the standard forward to float tolerance
 (tests/test_packed_unet.py).
+
+Inside an iterated sampler (ddpm_sample's lax.scan), the kernel repacking
+would otherwise be traced into EVERY step — a chain of small scatters per
+conv that XLA does not reliably hoist out of the loop. `pack_unet_params`
+runs the repacking once (its outputs are loop-invariant), and
+`packed_unet_predict(prepacked=...)` consumes the result.
 """
 
 from typing import Optional
@@ -36,7 +42,7 @@ import numpy as np
 
 from ..models.layers import adaptive_group_count, gelu, nearest_resize_1d
 
-__all__ = ["packed_unet_predict", "pack_conv_kernel"]
+__all__ = ["packed_unet_predict", "pack_conv_kernel", "pack_unet_params"]
 
 
 # ------------------------------------------------------------ layout moves
@@ -88,11 +94,23 @@ def pack_conv_kernel(kernel: np.ndarray, dilation: int = 1):
     return packed, (-dps[0], dps[-1])
 
 
-def _packed_conv(x, conv_params, dilation=1):
-    """Packed-layout conv from ORIGINAL conv params (kernel repacked here;
-    under jit this folds into a constant per compiled program). Compute
-    dtype follows x (params stay float32 in the tree)."""
-    kernel, pad = pack_conv_kernel(conv_params["kernel"], dilation)
+def _packed_conv(x, conv_params, dilation=1, key=None, prepacked=None,
+                 record=None):
+    """Packed-layout conv from ORIGINAL conv params. The kernel repack is a
+    chain of small scatters: done here per trace unless ``prepacked`` holds
+    a precomputed (kernel, bias2) for ``key`` (see pack_unet_params), in
+    which case no repacking ops enter this trace at all."""
+    if prepacked is not None and key in prepacked:
+        kernel, bias2 = prepacked[key]
+        half = (kernel.shape[0] - 1) // 2  # repack paddings are symmetric
+        pad = (half, half)
+    else:
+        kernel, pad = pack_conv_kernel(conv_params["kernel"], dilation)
+        bias = conv_params.get("bias")
+        bias2 = None if bias is None else jnp.repeat(bias, 2)
+        if record is not None:
+            assert pad[0] == pad[1], pad
+            record[key] = (kernel, bias2)
     out = jax.lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
@@ -100,9 +118,8 @@ def _packed_conv(x, conv_params, dilation=1):
         padding=[pad],
         dimension_numbers=("NHC", "HIO", "NHC"),
     )
-    bias = conv_params.get("bias")
-    if bias is not None:
-        out = out + jnp.repeat(bias, 2).astype(x.dtype)
+    if bias2 is not None:
+        out = out + bias2.astype(x.dtype)
     return out
 
 
@@ -175,27 +192,36 @@ def _resize(h, scale_factor, in_packed, out_packed):
 
 
 def _resblock(x, params, emb, groups_in, groups_out, in_packed, out_packed,
-              scale_factor=1.0, dilation=2):
+              scale_factor=1.0, dilation=2, key=None, prepacked=None,
+              record=None):
     """models/layers.py::ResBlock from its params tree, in either layout.
 
     ``groups_in``/``groups_out`` are the ORIGINAL GroupNorm group counts
     (adaptive_group_count of the unpacked channel widths).
     """
-    conv = _packed_conv if out_packed else _plain_conv
+    def conv(h, cp, sub, dilation=1):
+        if out_packed:
+            return _packed_conv(
+                h, cp, dilation,
+                key=None if key is None else f"{key}/{sub}",
+                prepacked=prepacked, record=record,
+            )
+        return _plain_conv(h, cp, dilation)
 
     h = gelu(_group_norm(x, params["norm_in"]["norm"], groups_in, in_packed))
     h = _resize(h, scale_factor, in_packed, out_packed)
-    h = conv(h, params["conv_in"]["conv"])
+    h = conv(h, params["conv_in"]["conv"], "conv_in")
     h = _group_norm(h, params["norm_mid"]["norm"], groups_out, out_packed)
     if emb is not None:
         a, b = _film(params["cond_proj"], emb, out_packed)
         h = h * (a + 1.0) + b
     h = gelu(h)
-    h = conv(h, params["conv_out"]["conv"], dilation=dilation)
+    h = conv(h, params["conv_out"]["conv"], "conv_out", dilation=dilation)
 
     skip = _resize(x, scale_factor, in_packed, out_packed)
     if "skip_proj" in params:
-        skip = conv(skip, params["skip_proj"]["conv"], dilation=1)
+        skip = conv(skip, params["skip_proj"]["conv"], "skip_proj",
+                    dilation=1)
     return skip + h
 
 
@@ -211,6 +237,8 @@ def packed_unet_predict(
     labels: Optional[jnp.ndarray] = None,
     pack_levels: int = 2,
     fuse_levels: int = 0,
+    prepacked: Optional[dict] = None,
+    _record: Optional[dict] = None,
 ) -> jnp.ndarray:
     """UNetPredictor forward with the first ``pack_levels`` pyramid levels
     (both down and up paths, plus in/out convs) run in packed layout, and/or
@@ -235,7 +263,7 @@ def packed_unet_predict(
     def groups_at(channels):
         return adaptive_group_count(channels)
 
-    def same_res(h, bparams, gi, go, depth, dilation=2):
+    def same_res(h, bparams, gi, go, depth, key, dilation=2):
         """Same-resolution ResBlock: Pallas megakernel when requested and
         supported for this shape, else the XLA path (packed or plain)."""
         if (depth < fuse_levels and not packed_at(depth)
@@ -246,10 +274,10 @@ def packed_unet_predict(
             )
         return _resblock(
             h, bparams, emb, gi, go, packed_at(depth), packed_at(depth),
-            dilation=dilation,
+            dilation=dilation, key=key, prepacked=prepacked, record=_record,
         )
 
-    def same_res_concat(h, skip_h, bparams, gi, go, depth):
+    def same_res_concat(h, skip_h, bparams, gi, go, depth, key):
         """Up-path block on concat([h, skip], -1); the megakernel takes the
         halves separately so the concat is never materialised in HBM."""
         cin = h.shape[-1] + skip_h.shape[-1]
@@ -262,11 +290,13 @@ def packed_unet_predict(
                     h, bparams, emb, groups_in=gi, groups_out=go, x2=skip_h,
                 )
         return same_res(
-            jnp.concatenate([h, skip_h], axis=-1), bparams, gi, go, depth
+            jnp.concatenate([h, skip_h], axis=-1), bparams, gi, go, depth,
+            key,
         )
 
     if packed_at(0):
-        h = _packed_conv(_pack(x), params["in_conv"]["conv"])
+        h = _packed_conv(_pack(x), params["in_conv"]["conv"], key="in_conv",
+                         prepacked=prepacked, record=_record)
     else:
         h = _plain_conv(x, params["in_conv"]["conv"])
     if cond is not None:
@@ -284,6 +314,7 @@ def packed_unet_predict(
             h = same_res(
                 h, params[f"down_blocks_{bi}"],
                 groups_at(cur), groups_at(mult * ch), depth,
+                f"down_blocks_{bi}",
             )
             cur = mult * ch
             bi += 1
@@ -294,7 +325,8 @@ def packed_unet_predict(
                 h, params[f"down_blocks_{bi}"], emb,
                 groups_at(cur), groups_at(cur),
                 packed_at(depth), packed_at(depth + 1),
-                scale_factor=0.5,
+                scale_factor=0.5, key=f"down_blocks_{bi}",
+                prepacked=prepacked, record=_record,
             )
             bi += 1
             skips.append(h)
@@ -303,7 +335,8 @@ def packed_unet_predict(
     for mi, d in enumerate(predictor.middle_dilations):
         h = same_res(
             h, params[f"middle_blocks_{mi}"],
-            groups_at(cur), groups_at(cur), len(mults) - 1, dilation=d,
+            groups_at(cur), groups_at(cur), len(mults) - 1,
+            f"middle_blocks_{mi}", dilation=d,
         )
 
     ui = 0
@@ -314,6 +347,7 @@ def packed_unet_predict(
             h = same_res_concat(
                 h, skip_h, params[f"up_blocks_{ui}"],
                 groups_at(cur + skip_w), groups_at(mult * ch), depth,
+                f"up_blocks_{ui}",
             )
             cur = mult * ch
             ui += 1
@@ -322,7 +356,8 @@ def packed_unet_predict(
                 h, params[f"up_blocks_{ui}"], emb,
                 groups_at(cur), groups_at(cur),
                 packed_at(depth), packed_at(depth - 1),
-                scale_factor=2.0,
+                scale_factor=2.0, key=f"up_blocks_{ui}",
+                prepacked=prepacked, record=_record,
             )
             ui += 1
 
@@ -332,7 +367,32 @@ def packed_unet_predict(
         )
     )
     if packed_at(0):
-        h = _unpack(_packed_conv(h, params["out_conv"]["conv"]))
+        h = _unpack(_packed_conv(h, params["out_conv"]["conv"],
+                                 key="out_conv", prepacked=prepacked,
+                                 record=_record))
     else:
         h = _plain_conv(h, params["out_conv"]["conv"])
     return h.astype(jnp.float32)
+
+
+def pack_unet_params(predictor, params, pack_levels: int = 2) -> dict:
+    """Repack all conv weights the packed levels use, ONCE.
+
+    Returns {conv path: (packed_kernel, doubled_bias)} for
+    ``packed_unet_predict(..., prepacked=...)``. Call this OUTSIDE any
+    sampling loop (but inside jit is fine): inside ddpm_sample's lax.scan
+    the repacking scatters would otherwise be traced into every step.
+
+    Implementation: trace a dummy tiny-T forward in record mode — the dummy
+    compute is dead code XLA eliminates; only the (loop-invariant) repacked
+    weights survive.
+    """
+    record: dict = {}
+    t = 2 ** (len(predictor.channel_mult) + 3)
+    dummy = jnp.zeros((1, t, 1), jnp.float32)
+    ts = jnp.full((1,), 0.5, jnp.float32)
+    packed_unet_predict(
+        predictor, params, dummy, ts, pack_levels=pack_levels,
+        _record=record,
+    )
+    return record
