@@ -42,7 +42,7 @@ def timed(label, fn, *args, repeats=2, steps=STEPS):
     best = min(times)
     tput = BATCH * SAMPLE_LEN / best
     print(f"{label:34s} {best * 1e3 / steps:8.2f} ms/step  "
-          f"{tput:12.0f} samples/s")
+          f"{tput:12.0f} samples/s", flush=True)
     return best
 
 

@@ -6,7 +6,6 @@ Run on TPU:  python scripts/bench_sampling_fused.py
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -18,24 +17,11 @@ from vq_voice_swap_tpu.diffusion import make_warp
 from vq_voice_swap_tpu.diffusion_model import DiffusionModel
 from vq_voice_swap_tpu.ops.packed_unet import packed_unet_predict
 
-SAMPLE_LEN = 64000
-STEPS = 50
-BATCH = 16
+# Shared constants + timing methodology: numbers from this script are only
+# comparable with bench_sampling.py's because these are the same objects.
+from bench_sampling import BATCH, SAMPLE_LEN, STEPS, timed  # noqa: E402
+
 INNER = 20
-
-
-def timed(label, fn, *args, repeats=2, steps=STEPS):
-    np.asarray(fn(*args))  # warm (compile + program load)
-    times = []
-    for _ in range(repeats):
-        start = time.perf_counter()
-        np.asarray(fn(*args))
-        times.append(time.perf_counter() - start)
-    best = min(times)
-    tput = BATCH * SAMPLE_LEN / best
-    print(f"{label:34s} {best * 1e3 / steps:8.2f} ms/step  "
-          f"{tput:12.0f} samples/s", flush=True)
-    return best
 
 
 def main():

@@ -39,9 +39,12 @@ def run_config(label, cli, extra, steps):
         sm = re.match(r"step (\d+):", line)
         if m and sm and int(sm.group(1)) > 5:  # skip compile/warmup steps
             rates.append(float(m.group(1)))
-    med = statistics.median(rates) if rates else float("nan")
+    if not rates:
+        print(f"{label:44s} no steady-state steps logged (run too short?)")
+        return None
+    med = statistics.median(rates)
     print(f"{label:44s} median {med:8.1f} samples/s "
-          f"(n={len(rates)}, max {max(rates):.1f})")
+          f"(n={len(rates)}, max {max(rates):.1f})", flush=True)
     return med
 
 

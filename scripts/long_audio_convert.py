@@ -70,6 +70,11 @@ def main():
         wav = reader.read(limit)
     finally:
         reader.close()
+    if wav is None:
+        raise SystemExit(
+            f"could not decode any audio from {args.input!r} (missing file, "
+            f"unsupported codec, or empty stream)"
+        )
     usable = (len(wav) // quantum) * quantum
     if not usable:
         raise SystemExit(

@@ -207,6 +207,16 @@ def matmul_group_norm(x, scale, bias, num_groups, eps, use_gelu):
     two-pass statistics up to summation order. Everything stays inside XLA —
     no custom-call boundary, fusion with neighbors is preserved.
     """
+    sums, sqs = mxu_channel_stats(x)
+    return _finish_from_channel_stats(
+        x, sums, sqs, scale, bias, num_groups, eps, use_gelu
+    )
+
+
+def mxu_channel_stats(x):
+    """Per-channel f32 (sum, sum-of-squares) of [N, T, C] as MXU dots:
+    ones[8, T] @ x (row 0) and the diagonal of the batched Gram x^T x.
+    Shared by matmul_group_norm and the fused-ResBlock kernels."""
     n, t, c = x.shape
     ones = jnp.ones((8, t), x.dtype)
     sums = jax.lax.dot_general(
@@ -218,9 +228,7 @@ def matmul_group_norm(x, scale, bias, num_groups, eps, use_gelu):
         preferred_element_type=jnp.float32,
     )  # [N, C, C]
     sqs = jnp.diagonal(gram, axis1=1, axis2=2)  # [N, C]
-    return _finish_from_channel_stats(
-        x, sums, sqs, scale, bias, num_groups, eps, use_gelu
-    )
+    return sums, sqs
 
 
 def _supported(x: jnp.ndarray) -> Optional[int]:

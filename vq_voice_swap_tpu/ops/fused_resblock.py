@@ -39,7 +39,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .fused_norm import _erf
+from .fused_norm import _erf, mxu_channel_stats
 
 __all__ = ["fused_resblock", "fused_resblock_supported", "pick_seq_tile"]
 
@@ -90,17 +90,9 @@ def _group_affine(sums, sqs, scale, bias, groups, count, eps):
 
 
 def _channel_stats(x):
-    """Per-channel f32 sum / sum-of-squares of [N, T, C] via MXU dots (see
+    """Per-channel f32 sum / sum-of-squares via MXU dots (see
     fused_norm.matmul_group_norm for why these beat XLA's reduce here)."""
-    n, t, c = x.shape
-    ones = jnp.ones((8, t), x.dtype)
-    sums = jax.lax.dot_general(
-        ones, x, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)[0]
-    gram = jax.lax.dot_general(
-        x, x, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    return sums, jnp.diagonal(gram, axis1=1, axis2=2)
+    return mxu_channel_stats(x)
 
 
 def _halo_strips(x, tile):

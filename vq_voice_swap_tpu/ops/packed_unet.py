@@ -250,6 +250,15 @@ def packed_unet_predict(
     from ..parallel.sequence import _time_class_embedding
     from .fused_resblock import fused_resblock, fused_resblock_supported
 
+    # Same conditioning contract as UNetPredictor.__call__: a conditional
+    # model silently ignoring absent labels/cond would produce wrong audio
+    # with no error.
+    assert (labels is None) == (predictor.num_labels is None), (
+        "labels required iff the predictor is class-conditional"
+    )
+    assert (cond is None) == (predictor.cond_channels is None), (
+        "cond required iff the predictor takes conditioning channels"
+    )
     ch = predictor.base_channels
     if predictor.dtype is not None:
         x = x.astype(predictor.dtype)
@@ -389,10 +398,14 @@ def pack_unet_params(predictor, params, pack_levels: int = 2) -> dict:
     """
     record: dict = {}
     t = 2 ** (len(predictor.channel_mult) + 3)
-    dummy = jnp.zeros((1, t, 1), jnp.float32)
+    dummy = jnp.zeros((1, t, predictor.in_channels), jnp.float32)
     ts = jnp.full((1,), 0.5, jnp.float32)
+    labels = (None if predictor.num_labels is None
+              else jnp.zeros((1,), jnp.int32))
+    cond = (None if predictor.cond_channels is None
+            else jnp.zeros((1, t, predictor.cond_channels), jnp.float32))
     packed_unet_predict(
-        predictor, params, dummy, ts, pack_levels=pack_levels,
-        _record=record,
+        predictor, params, dummy, ts, cond=cond, labels=labels,
+        pack_levels=pack_levels, _record=record,
     )
     return record

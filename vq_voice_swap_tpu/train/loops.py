@@ -183,8 +183,9 @@ class TrainLoop(ABC):
         loss = float(metrics["loss"])  # forces completion
         now = time.perf_counter()
         # Steady state: time between consecutive completions; first step
-        # falls back to dispatch->completion (includes compile).
-        baseline = self._last_finish if self._last_finish else dispatched
+        # falls back to dispatch->completion (includes compile). getattr:
+        # step() is callable without going through loop() (driver/tests).
+        baseline = getattr(self, "_last_finish", None) or dispatched
         self._last_finish = now
         metrics["samples_per_sec"] = self.args.batch_size / (now - baseline)
         self.log_metrics(metrics, loss=loss, step=loop_steps + 1)
