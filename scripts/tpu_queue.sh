@@ -1,0 +1,18 @@
+#!/bin/bash
+# Drain the queued TPU measurements in sequence (single chip — serialize).
+# Usage: bash scripts/tpu_queue.sh >> /tmp/tpu_queue.log 2>&1 &
+set -x
+cd "$(dirname "$0")/.."
+
+echo "=== tpu_queue start: $(date -u) ==="
+
+# 1. Train throughput (VERDICT #5): batch scaling + f32 reference row.
+timeout 3000 python scripts/bench_train.py --steps 30
+
+# 2. VQ Pallas kernel rent check at large codebooks (VERDICT #7).
+timeout 1800 python scripts/bench_vq.py
+
+# 3. XLA scoped-vmem flag sweep on the headline bench.
+timeout 3000 python scripts/bench_xla_flags.py
+
+echo "=== tpu_queue done: $(date -u) ==="

@@ -142,3 +142,62 @@ def test_packed_unet_unconditional():
         )(variables["params"])
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_conditioning_contract_enforced():
+    """A conditional predictor must not silently run unconditioned through
+    the packed/fused serving path (mirrors UNetPredictor.__call__'s
+    asserts)."""
+    pred = UNetPredictor(
+        base_channels=2, channel_mult=(1, 2), middle_dilations=(2,),
+        depth_mult=1, num_labels=3, cond_channels=4,
+    )
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 32, 1), jnp.float32)
+    ts = jnp.asarray([0.5], jnp.float32)
+    cond = jnp.asarray(rng.randn(1, 8, 4), jnp.float32)
+    labels = jnp.asarray([1])
+    params = pred.init(
+        jax.random.key(3), x, ts, cond=cond, labels=labels
+    )["params"]
+    with pytest.raises(AssertionError):
+        packed_unet_predict(pred, params, x, ts, cond=cond, pack_levels=1)
+    with pytest.raises(AssertionError):
+        packed_unet_predict(pred, params, x, ts, labels=labels, pack_levels=1)
+
+
+def test_pack_unet_params_conditional_multichannel():
+    """pack_unet_params must handle conditional predictors with
+    in_channels != 1 (its record-mode trace builds its own dummy batch)."""
+    pred = UNetPredictor(
+        base_channels=2, channel_mult=(1, 2), middle_dilations=(2,),
+        depth_mult=1, in_channels=2, num_labels=3, cond_channels=4,
+    )
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 32, 2), jnp.float32)
+    ts = jnp.asarray([0.5], jnp.float32)
+    cond = jnp.asarray(rng.randn(1, 8, 4), jnp.float32)
+    labels = jnp.asarray([2])
+    params = pred.init(
+        jax.random.key(4), x, ts, cond=cond, labels=labels
+    )["params"]
+
+    prep = pack_unet_params(pred, params, pack_levels=1)
+    assert "in_conv" in prep
+
+    want = np.asarray(
+        jax.jit(
+            lambda p: pred.apply(
+                {"params": p}, x, ts, cond=cond, labels=labels
+            )
+        )(params)
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda p: packed_unet_predict(
+                pred, p, x, ts, cond=cond, labels=labels,
+                pack_levels=1, prepacked=prep,
+            )
+        )(params)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
