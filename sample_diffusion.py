@@ -74,6 +74,17 @@ def main():
             if model.num_labels is not None
             else (lambda xs, ts: model.predict_eps(variables, xs, ts))
         )
+        if args.sampler == "ddim":
+            return model.diffusion.ddim_sample(
+                x_T,
+                pred,
+                steps=args.sample_steps,
+                rng=samp_rng,
+                eta=args.eta,
+                constrain=args.constrain,
+                cond_fn=build_cond_fn(labels),
+                warp=warp,
+            )
         return model.diffusion.ddpm_sample(
             x_T,
             pred,
@@ -145,6 +156,11 @@ def arg_parser():
     parser.add_argument("--schedule", default="linear", type=str,
                         help="named time warp: linear|quadratic|sqrt|pow:X")
     parser.add_argument("--encoding", default="linear", type=str)
+    parser.add_argument("--sampler", default="ddpm", type=str,
+                        choices=("ddpm", "ddim"),
+                        help="ddim (beyond-reference) allows far fewer steps")
+    parser.add_argument("--eta", default=0.0, type=float,
+                        help="DDIM stochasticity (0 = deterministic)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="compute in bfloat16 (params stay float32)")

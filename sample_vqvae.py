@@ -48,6 +48,8 @@ def convert(args, model, variables, enc_pred, in_seq):
             constrain=True,
             enc_pred=enc_pred,
             enc_pred_scale=args.enc_pred_scale,
+            sampler=args.sampler,
+            eta=args.eta,
         )
     )
     audio = decode(variables, encoded, labels, jax.random.key(args.seed))
@@ -102,6 +104,11 @@ def arg_parser():
     parser.add_argument("--no-vq", action="store_true")
     parser.add_argument("--check-vq", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=("ddpm", "ddim"),
+                        help="ddim (beyond-reference) allows far fewer steps")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic)")
     parser.add_argument("checkpoint_path", type=str)
     parser.add_argument("output_file", type=str)
     return parser

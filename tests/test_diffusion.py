@@ -204,3 +204,65 @@ def test_make_warp():
     np.testing.assert_allclose(float(p(jnp.asarray(2.0))), 8.0)
     with pytest.raises(ValueError):
         make_warp("exp(t)")
+
+
+def test_ddim_perfect_predictor_recovers_x0():
+    """DDIM with the exact eps for a FIXED x0 recovers that x0 exactly at
+    every step count (the deterministic update is exact when eps is exact)."""
+    diff = Diffusion(ExpSchedule())
+    x0 = jnp.asarray(np.random.RandomState(0).randn(3, 128), jnp.float32)
+    eps_T = jnp.asarray(np.random.RandomState(1).randn(3, 128), jnp.float32)
+    x_T = diff.sample_q(x0, jnp.ones((3,)), eps_T)
+
+    def predictor(x_t, ts):
+        return diff.x0_to_eps(x_t, ts, x0)
+
+    for steps in (2, 5, 50):
+        out = diff.ddim_sample(x_T, predictor, steps=steps)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(x0), atol=2e-3, rtol=1e-3
+        )
+
+
+def test_ddim_deterministic_no_rng():
+    diff = Diffusion(CosSchedule())
+    x_T = jax.random.normal(jax.random.key(7), (2, 64))
+    a = diff.ddim_sample(x_T, lambda x, t: 0.1 * x, steps=10)
+    b = diff.ddim_sample(x_T, lambda x, t: 0.1 * x, steps=10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        diff.ddim_sample(x_T, lambda x, t: 0.1 * x, steps=10, eta=0.5)
+
+
+def test_ddim_eta1_matches_ancestral_small_sigma():
+    """At eta=1 the DDIM variance equals the ancestral small-sigma variance,
+    so a single step from the same state/noise matches ddpm_previous."""
+    diff = Diffusion(ExpSchedule())
+    rng = np.random.RandomState(2)
+    x_t = jnp.asarray(rng.randn(2, 64), jnp.float32)
+    eps = jnp.asarray(rng.randn(2, 64), jnp.float32)
+    noise = jnp.asarray(rng.randn(2, 64), jnp.float32)
+    ts = jnp.full((2,), 0.6, jnp.float32)
+    step = jnp.asarray(0.1, jnp.float32)
+
+    want = diff.ddpm_previous(x_t, ts, step, eps, noise, sigma_large=False)
+    got = diff.ddim_previous(x_t, ts, step, eps, noise, eta=1.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_ddim_warp_and_jit():
+    diff = Diffusion(ExpSchedule())
+    warp = make_warp("quadratic")
+
+    @jax.jit
+    def run(x_T, rng):
+        return diff.ddim_sample(
+            x_T, lambda x, t: 0.5 * x, steps=8, rng=rng, eta=0.3,
+            constrain=True, warp=warp,
+        )
+
+    out = run(jnp.ones((2, 32)), jax.random.key(0))
+    assert out.shape == (2, 32)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -89,3 +89,31 @@ def test_vqvae_downsample_rate_lcm():
     )
     # wavegrad predictor rate 64, wavegrad encoder rate 64 -> lcm 64.
     assert model.downsample_rate == 64
+
+
+def test_decode_ddim_sampler():
+    """decode(sampler="ddim") runs deterministically and matches shape; the
+    DDPM and DDIM outputs differ (different update rules)."""
+    model = VQVAE(
+        pred_name="wavegrad",
+        base_channels=2,
+        enc_name="wavegrad",
+        cond_mult=4,
+        dictionary_size=8,
+        num_labels=3,
+    )
+    variables = model.init_variables(jax.random.key(0), seq_len=256)
+    x = jnp.asarray(np.random.RandomState(7).randn(2, 256, 1) * 0.1,
+                    dtype=jnp.float32)
+    labels = jnp.asarray([0, 2])
+    codes = model.encode(variables, x)
+
+    a = model.decode(variables, codes, jax.random.key(1), labels=labels,
+                     steps=3, sampler="ddim")
+    b = model.decode(variables, codes, jax.random.key(1), labels=labels,
+                     steps=3, sampler="ddim")
+    c = model.decode(variables, codes, jax.random.key(1), labels=labels,
+                     steps=3)
+    assert a.shape == (2, 256, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6

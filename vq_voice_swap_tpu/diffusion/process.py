@@ -179,6 +179,104 @@ class Diffusion:
         x_0, _ = jax.lax.scan(body, x_T, (jnp.arange(steps), keys))
         return x_0
 
+    def ddim_previous(
+        self,
+        x_t: jnp.ndarray,
+        ts: jnp.ndarray,
+        step: jnp.ndarray,
+        eps_pred: jnp.ndarray,
+        noise: jnp.ndarray,
+        eta: float = 0.0,
+        constrain: bool = False,
+        cond_fn: Optional[CondFn] = None,
+    ) -> jnp.ndarray:
+        """One DDIM reverse step x_t -> x_{t-step} (Song et al. 2020).
+
+        Beyond-reference capability (the reference has only the ancestral
+        sampler): ``eta=0`` is the deterministic DDIM update, ``eta=1``
+        recovers ancestral small-sigma variance. Guidance uses the
+        score-form epsilon shift eps - sqrt(1-abar_t) * grad (Dhariwal &
+        Nichol 2021) rather than the DDPM posterior-mean shift, because the
+        deterministic update has no sigma^2 term to scale the gradient by.
+        """
+        abar_t = broadcast_to_batch(self.schedule(ts), x_t)
+        abar_prev = broadcast_to_batch(self.schedule(ts - step), x_t)
+
+        if cond_fn is not None:
+            eps_pred = eps_pred - jnp.sqrt(1.0 - abar_t) * cond_fn(x_t, ts)
+
+        x0 = self.eps_to_x0(x_t, ts, eps_pred)
+        if constrain:
+            x0_mean = jnp.mean(x0, axis=tuple(range(1, x0.ndim)), keepdims=True)
+            x0 = jnp.clip(x0 - x0_mean, -1.0, 1.0)
+        eps_pred = self.x0_to_eps(x_t, ts, x0)
+
+        sigmas = eta * jnp.sqrt(
+            (1.0 - abar_prev) / (1.0 - abar_t)
+        ) * jnp.sqrt(1.0 - abar_t / abar_prev)
+        dir_xt = jnp.sqrt(
+            jnp.maximum(1.0 - abar_prev - jnp.square(sigmas), 0.0)
+        ) * eps_pred
+        return jnp.sqrt(abar_prev) * x0 + dir_xt + sigmas * noise
+
+    def ddim_sample(
+        self,
+        x_T: jnp.ndarray,
+        predictor: PredictorFn,
+        steps: int,
+        rng: Optional[jax.Array] = None,
+        eta: float = 0.0,
+        constrain: bool = False,
+        cond_fn: Optional[CondFn] = None,
+        warp: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """DDIM sampler as one lax.scan; deterministic at eta=0 (rng then
+        optional). Same warp semantics as ddpm_sample. The final step lands
+        on t=0 where schedule(0)=1, so the update degenerates to returning
+        the predicted x0 exactly (sigma and dir_xt both vanish)."""
+        batch = x_T.shape[0]
+        dt = 1.0 / steps
+        if eta and rng is None:
+            raise ValueError("eta > 0 draws noise: pass rng")
+        keys = (
+            jax.random.split(rng, steps)
+            if rng is not None
+            else jnp.zeros((steps, 2), jnp.uint32)
+        )
+
+        def body(x_t, inputs):
+            i, key = inputs
+            t = (steps - i).astype(jnp.float32) * dt
+            if warp is not None:
+                step = warp(t) - warp(t - dt)
+                t = warp(t)
+            else:
+                step = jnp.asarray(dt, dtype=jnp.float32)
+            ts = jnp.full((batch,), t, dtype=jnp.float32)
+
+            eps = predictor(x_t, ts)
+            if eta:  # rng is guaranteed non-None here (checked above)
+                is_last = (i == steps - 1).astype(x_t.dtype)
+                noise = jax.random.normal(
+                    key, x_T.shape, dtype=x_T.dtype
+                ) * (1.0 - is_last)
+            else:
+                noise = jnp.zeros_like(x_t)
+            x_prev = self.ddim_previous(
+                x_t=x_t,
+                ts=ts,
+                step=step,
+                eps_pred=eps,
+                noise=noise,
+                eta=eta,
+                constrain=constrain,
+                cond_fn=cond_fn,
+            )
+            return x_prev, None
+
+        x_0, _ = jax.lax.scan(body, x_T, (jnp.arange(steps), keys))
+        return x_0
+
     # ---------------------------------------------------------------- losses
 
     def ddpm_losses(

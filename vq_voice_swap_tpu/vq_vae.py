@@ -211,10 +211,14 @@ class VQVAE(DiffusionModel):
         constrain: bool = False,
         enc_pred: Optional[Tuple[EncoderPredictor, Dict[str, Any]]] = None,
         enc_pred_scale: float = 1.0,
+        sampler: str = "ddpm",
+        eta: float = 0.0,
         **kwargs: Any,
     ) -> jnp.ndarray:
         """Sample audio for codes (+ labels); optional encoder-predictor
-        gradient guidance (reference vq_vae.py:93-145)."""
+        gradient guidance (reference vq_vae.py:93-145). ``sampler`` picks
+        the ancestral DDPM sampler or the (beyond-reference) DDIM sampler;
+        ``eta`` is DDIM-only."""
         cond_seq = self._cond_seq(variables, codes)
         x_len = cond_seq.shape[1] * self.encoder.downsample_rate
         rng, noise_rng = jax.random.split(rng)
@@ -239,11 +243,18 @@ class VQVAE(DiffusionModel):
 
                 return -enc_pred_scale * jax.grad(total_loss)(x)
 
+        pred_fn = lambda xs, ts: self.predict_eps(  # noqa: E731
+            variables, xs, ts, cond=cond_seq, labels=labels
+        )
+        if sampler == "ddim":
+            return self.diffusion.ddim_sample(
+                x_T, pred_fn, steps=steps, rng=rng, eta=eta,
+                constrain=constrain, cond_fn=cond_fn, **kwargs,
+            )
+        assert sampler == "ddpm", f"unknown sampler {sampler!r}"
         return self.diffusion.ddpm_sample(
             x_T,
-            lambda xs, ts: self.predict_eps(
-                variables, xs, ts, cond=cond_seq, labels=labels
-            ),
+            pred_fn,
             steps=steps,
             rng=rng,
             constrain=constrain,
@@ -261,6 +272,8 @@ class VQVAE(DiffusionModel):
         constrain: bool = False,
         label_scale: float = 0.0,
         vq_scale: float = 0.0,
+        sampler: str = "ddpm",
+        eta: float = 0.0,
         **kwargs: Any,
     ) -> jnp.ndarray:
         """Classifier-free guidance decoding for models fine-tuned with
@@ -308,6 +321,12 @@ class VQVAE(DiffusionModel):
                     pred = pred + scale * (base - sub)
             return pred
 
+        if sampler == "ddim":
+            return self.diffusion.ddim_sample(
+                x_T, pred_fn, steps=steps, rng=rng, eta=eta,
+                constrain=constrain, **kwargs
+            )
+        assert sampler == "ddpm", f"unknown sampler {sampler!r}"
         return self.diffusion.ddpm_sample(
             x_T, pred_fn, steps=steps, rng=rng, constrain=constrain, **kwargs
         )
