@@ -48,6 +48,8 @@ def main():
             constrain=True,
             label_scale=args.guide_label_scale,
             vq_scale=args.guide_vq_scale,
+            sampler=args.sampler,
+            eta=args.eta,
             warp=warp,
         )
     )(variables, encoded, labels, jax.random.key(args.seed))
@@ -80,6 +82,11 @@ def arg_parser():
                         help="named time warp: linear|quadratic|sqrt|pow:X")
     parser.add_argument("--guide-label-scale", type=float, default=1.0)
     parser.add_argument("--guide-vq-scale", type=float, default=0.0)
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=("ddpm", "ddim"),
+                        help="ddim (beyond-reference) allows far fewer steps")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic)")
     parser.add_argument("--no-vq", action="store_true")
     parser.add_argument("--check-vq", action="store_true")
     parser.add_argument("--seed", type=int, default=0)

@@ -15,4 +15,7 @@ timeout 1800 python scripts/bench_vq.py
 # 3. XLA scoped-vmem flag sweep on the headline bench.
 timeout 3000 python scripts/bench_xla_flags.py
 
+# 4. DDIM few-step quality arm (reuses runs/qeval checkpoints).
+timeout 3000 bash scripts/quality_eval_ddim.sh runs/qeval 10
+
 echo "=== tpu_queue done: $(date -u) ==="
