@@ -49,6 +49,9 @@ def main():
     parser.add_argument("--label", type=int, required=True,
                         help="target speaker id")
     parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=("ddpm", "ddim"))
+    parser.add_argument("--eta", type=float, default=0.0)
     parser.add_argument("--encoding", type=str, default="linear")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-seconds", type=float, default=None,
@@ -96,6 +99,7 @@ def main():
     out = seq_parallel_vqvae_convert(
         mesh, model, variables, x, jax.random.key(args.seed),
         labels=labels, steps=args.steps, constrain=True,
+        sampler=args.sampler, eta=args.eta,
     )
     out = np.asarray(out)  # host fetch = the only reliable barrier here
     elapsed = time.perf_counter() - start

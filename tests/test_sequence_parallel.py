@@ -241,6 +241,22 @@ def test_seq_parallel_ddpm_sample_matches_unsharded():
     )
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
 
+    # DDIM dispatch through the same T-sharded predictor.
+    want_ddim = np.asarray(
+        diffusion.ddim_sample(
+            x_T,
+            lambda xs, tt: pred.apply(variables, xs, tt),
+            steps=4,
+        )
+    )
+    got_ddim = np.asarray(
+        seq_parallel_ddpm_sample(
+            mesh, diffusion, pred, variables["params"],
+            _sharded(mesh, x_T), steps=4, rng=None, sampler="ddim",
+        )
+    )
+    np.testing.assert_allclose(got_ddim, want_ddim, atol=5e-5, rtol=5e-5)
+
 
 @pytest.mark.slow
 def test_seq_parallel_vqvae_convert_matches_unsharded():

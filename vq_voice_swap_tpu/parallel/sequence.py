@@ -404,23 +404,28 @@ def seq_parallel_ddpm_sample(
     rng,
     cond=None,
     labels=None,
+    sampler="ddpm",
+    eta=0.0,
     **kwargs,
 ):
-    """diffusion.ddpm_sample with the T-sharded UNet predictor.
+    """diffusion.ddpm_sample (or ddim_sample) with the T-sharded UNet
+    predictor.
 
     x_T: [N, T, 1] sharded P(None, SEQ_AXIS, None). The reverse-process
     arithmetic (posterior mean/sigma, noise add) is elementwise, so it
     partitions trivially; only the predictor communicates (halos + GN
     psums). Returns the sampled x_0 with the same sharding.
     """
+    pred_fn = lambda xs, ts: seq_parallel_unet_predictor(  # noqa: E731
+        mesh, predictor, params, xs, ts, cond=cond, labels=labels
+    )
+    if sampler == "ddim":
+        return diffusion.ddim_sample(
+            x_T, pred_fn, steps=steps, rng=rng, eta=eta, **kwargs
+        )
+    assert sampler == "ddpm", f"unknown sampler {sampler!r}"
     return diffusion.ddpm_sample(
-        x_T,
-        lambda xs, ts: seq_parallel_unet_predictor(
-            mesh, predictor, params, xs, ts, cond=cond, labels=labels
-        ),
-        steps=steps,
-        rng=rng,
-        **kwargs,
+        x_T, pred_fn, steps=steps, rng=rng, **kwargs
     )
 
 
