@@ -9,6 +9,7 @@ import glob
 import os
 
 import numpy as np
+import optax
 import pytest
 
 import vq_voice_swap_tpu.train.loops as loops_mod
@@ -144,3 +145,34 @@ def test_vqvae_train_loop_end_to_end(tmp_path, monkeypatch):
     loop2.loop(max_steps=1)
     dict_after = np.asarray(loop2.state.params["vq"]["dictionary"])
     np.testing.assert_array_equal(dict_before, dict_after)
+
+
+def test_build_optimizer_lr_anneal():
+    """--lr-final linearly anneals the LR; step sizes must shrink toward
+    the final LR's scale across optimizer steps."""
+    import jax.numpy as jnp
+    from vq_voice_swap_tpu.train import build_optimizer
+
+    params = {"w": jnp.zeros((4,))}
+    tx = build_optimizer(params, lr=1e-2, lr_final=1e-4, lr_anneal_steps=10)
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+
+    sizes = []
+    p = params
+    for _ in range(11):
+        updates, state = tx.update(grads, state, p)
+        sizes.append(float(jnp.abs(updates["w"]).mean()))
+        p = optax.apply_updates(p, updates)
+    # First step ~ lr (Adam normalizes the gradient), last ~ lr_final.
+    assert sizes[0] > 5e-3
+    assert sizes[-1] < 5e-4
+    assert all(a >= b * 0.99 for a, b in zip(sizes, sizes[1:]))
+
+
+def test_build_optimizer_lr_anneal_requires_steps():
+    import jax.numpy as jnp
+    from vq_voice_swap_tpu.train import build_optimizer
+
+    with pytest.raises(AssertionError):
+        build_optimizer({"w": jnp.zeros(2)}, lr=1e-2, lr_final=1e-4)

@@ -92,6 +92,8 @@ class TrainLoop(ABC):
             lr=args.lr,
             weight_decay=args.weight_decay,
             frozen_fn=self.frozen_predicate(),
+            lr_final=getattr(args, "lr_final", None),
+            lr_anneal_steps=getattr(args, "lr_anneal_steps", None),
         )
         opt_state = self.create_opt_state(params)
 
@@ -350,6 +352,10 @@ class TrainLoop(ABC):
             formatter_class=argparse.ArgumentDefaultsHelpFormatter
         )
         parser.add_argument("--lr", default=1e-4, type=float)
+        parser.add_argument("--lr-final", default=None, type=float,
+                            help="linearly anneal to this LR (the released "
+                                 "unet64 recipe) over --lr-anneal-steps")
+        parser.add_argument("--lr-anneal-steps", default=None, type=int)
         parser.add_argument("--ema-rate", default="0.9999", type=str)
         parser.add_argument("--weight-decay", default=0.0, type=float)
         parser.add_argument("--batch-size", default=8, type=int)

@@ -51,11 +51,25 @@ def build_optimizer(
     lr: float,
     weight_decay: float = 0.0,
     frozen_fn: Optional[Callable[[str], bool]] = None,
+    lr_final: Optional[float] = None,
+    lr_anneal_steps: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """AdamW with torch-default betas/eps; frozen subtrees get set_to_zero
-    (equivalently zeroed Adam moments, reference train_loop.py:200-225)."""
+    (equivalently zeroed Adam moments, reference train_loop.py:200-225).
+
+    lr_final + lr_anneal_steps enable a linear LR anneal lr -> lr_final
+    over the first lr_anneal_steps optimizer steps (the released unet64
+    model was LR-annealed; the reference has no schedule support and its
+    recipe required manual restarts at lowered --lr)."""
+    schedule: Any = lr
+    if lr_final is not None:
+        assert lr_anneal_steps, "need --lr-anneal-steps with --lr-final"
+        schedule = optax.linear_schedule(
+            init_value=lr, end_value=lr_final,
+            transition_steps=lr_anneal_steps,
+        )
     adamw = optax.adamw(
-        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+        learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=weight_decay,
     )
     if frozen_fn is None:
