@@ -83,4 +83,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient tunnel/backend hiccups: retry once
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(f"bench: retrying once after error: {e}", file=sys.stderr)
+        time.sleep(60)
+        main()
