@@ -467,6 +467,16 @@ def test_mfcc_encoder_converter_parity():
 
     # Ours: converted params + full jitted encoder from the raw waveform.
     sd = {f"encoder.blocks.{k}": v for k, v in _to_numpy_sd(blocks).items()}
+    # torchaudio MFCC persistent buffers ride along in real checkpoints;
+    # the converter must treat them as expected leftovers (the frontend is
+    # pure JAX), not raise "unconverted torch parameters".
+    sd["encoder.mfcc.dct_mat"] = np.zeros((40, 13), np.float64)
+    sd["encoder.mfcc.MelSpectrogram.spectrogram.window"] = np.zeros(
+        (400,), np.float64
+    )
+    sd["encoder.mfcc.MelSpectrogram.mel_scale.fb"] = np.zeros(
+        (201, 40), np.float64
+    )
     variables = convert_state_dict(
         "VQVAE", {"pred_name": "unet", "enc_name": "conv-mfcc-ulaw"}, sd
     )

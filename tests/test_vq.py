@@ -124,3 +124,68 @@ def test_vq_loss_standard_and_revive():
     g = jax.grad(f)(jnp.asarray(np.random.RandomState(0).randn(4, 3),
                                 dtype=jnp.float32))
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_update_usage_decay_and_used_mask():
+    """decay= folds microbatch forwards into one call; used= must agree with
+    the scatter-derived mask (the Pallas kernel supplies it in-kernel)."""
+    from vq_voice_swap_tpu.vq import update_usage, vq_forward
+
+    usage = jnp.asarray([5, 3, 1, 0], jnp.int32)
+    idxs = jnp.asarray([[0, 0]], jnp.int32)  # only code 0 used
+    got = np.asarray(update_usage(usage, idxs, dead_rate=8, decay=2))
+    np.testing.assert_array_equal(got, [8, 1, 0, 0])
+
+    used = jnp.asarray([True, False, False, False])
+    got2 = np.asarray(
+        update_usage(usage, idxs, dead_rate=8, decay=2, used=used)
+    )
+    np.testing.assert_array_equal(got, got2)
+
+    # vq_forward's used output matches its idxs.
+    rng = np.random.RandomState(0)
+    dictionary = jnp.asarray(rng.randn(8, 4), jnp.float32)
+    x = jnp.asarray(rng.randn(2, 16, 4), jnp.float32)
+    out = vq_forward(dictionary, x)
+    want_used = np.zeros(8, bool)
+    want_used[np.asarray(out["idxs"]).reshape(-1)] = True
+    np.testing.assert_array_equal(np.asarray(out["used"]), want_used)
+
+
+def test_codebook_used_metric_is_pre_revival():
+    """With revive=True the liveness metric must reflect PRE-revival usage
+    (post-revival it is trivially the full dictionary)."""
+    import optax
+
+    from vq_voice_swap_tpu.train import make_train_step
+    from vq_voice_swap_tpu.train.steps import VQUpdateRule
+    from vq_voice_swap_tpu.train.state import TrainState
+
+    D, C = 4, 2
+    params = {"vq": {"dictionary": jnp.eye(D, C, dtype=jnp.float32)}}
+    # All codes one decay away from dead: any unused code dies this step.
+    buffers = {"vq": {"usage_count": jnp.ones((D,), jnp.int32)}}
+
+    def loss_fn(params, buffers, rng, batch, ctx):
+        idxs = batch["idxs"]
+        return 0.0 * jnp.sum(params["vq"]["dictionary"]), {
+            "mses": jnp.zeros((idxs.shape[0],)),
+            "ts": jnp.zeros((idxs.shape[0],)),
+            "idxs": idxs,
+            "enc_flat": jnp.ones((4, C)),
+        }
+
+    tx = optax.sgd(0.0)
+    step = make_train_step(
+        loss_fn, tx, ema_rate_trees={}, microbatches=1,
+        vq_rule=VQUpdateRule(dead_rate=5, revive=True),
+    )
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), params=params, buffers=buffers,
+        opt_state=tx.init(params), emas={},
+    )
+    batch = {"idxs": jnp.asarray([[0, 1]], jnp.int32)}  # codes 2, 3 unused
+    new_state, metrics = step(state, batch, jax.random.key(0), None)
+    assert int(metrics["codebook_used"]) == 2
+    # Revival still refills the buffer afterwards.
+    assert int(jnp.sum(new_state.buffers["vq"]["usage_count"] > 0)) == 4

@@ -506,6 +506,7 @@ class VQVAETrainLoop(DiffusionTrainLoop):
                 "ts": out["ts"],
                 "extra": {"vq_loss": out["vq_loss"]},
                 "idxs": out["idxs"],
+                "used": out["used"],
                 "enc_flat": out["enc_flat"],
             }
 
@@ -666,6 +667,7 @@ class VQVAEUncondTrainLoop(VQVAETrainLoop):
                 "ts": out["ts"],
                 "extra": {"vq_loss": out["vq_loss"]},
                 "idxs": out["idxs"],
+                "used": out["used"],
                 "enc_flat": out["enc_flat"],
             }
 

@@ -94,6 +94,7 @@ def make_train_step(
             # scalar extras average across microbatches (equal weights).
             aux = {
                 k: (jax.tree.map(jnp.mean, v) if k == "extra"
+                    else jnp.any(v, axis=0) if k == "used"  # [M, D] -> [D]
                     else jnp.reshape(v, (-1,) + v.shape[2:]))
                 for k, v in aux_stack.items()
             }
@@ -105,7 +106,15 @@ def make_train_step(
         # --- VQ codebook maintenance (all on device) ---------------------
         if vq_rule is not None:
             usage = new_buffers["vq"]["usage_count"]
-            usage = update_usage(usage, aux["idxs"], vq_rule.dead_rate)
+            # decay=microbatches: the reference ticks its tracker once per
+            # microbatch forward (vq.py:190-196 inside each compute_losses).
+            usage = update_usage(
+                usage, aux["idxs"], vq_rule.dead_rate,
+                decay=microbatches, used=aux.get("used"),
+            )
+            # Liveness is only meaningful BEFORE revival refills dead slots
+            # (with revive=True the post-revival count is always D).
+            codebook_used = jnp.sum((usage > 0).astype(jnp.int32))
             dictionary = new_params["vq"]["dictionary"]
             if vq_rule.revive:
                 revive_rng = jax.random.fold_in(rng, 0x5EED)
@@ -132,9 +141,7 @@ def make_train_step(
             "extra": aux.get("extra", {}),
         }
         if vq_rule is not None:
-            metrics["codebook_used"] = jnp.sum(
-                (new_buffers["vq"]["usage_count"] > 0).astype(jnp.int32)
-            )
+            metrics["codebook_used"] = codebook_used
 
         new_state = TrainState(
             step=state.step + 1,

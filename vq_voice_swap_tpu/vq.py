@@ -22,7 +22,7 @@ TPU for large batches.
 """
 
 from dataclasses import dataclass
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,24 +84,52 @@ def vq_forward(
     from .ops.vq_pallas import vq_assign
 
     flat = jnp.reshape(jax.lax.stop_gradient(x), (-1, x.shape[-1]))
-    idxs_flat, _ = vq_assign(jax.lax.stop_gradient(dictionary), flat)
+    idxs_flat, used = vq_assign(jax.lax.stop_gradient(dictionary), flat)
     idxs = jnp.reshape(idxs_flat, x.shape[:-1])
     embedded = jnp.take(dictionary, idxs, axis=0)  # [N, T, C]
     passthrough = x + jax.lax.stop_gradient(embedded - x)
-    return {"embedded": embedded, "passthrough": passthrough, "idxs": idxs}
+    return {
+        "embedded": embedded,
+        "passthrough": passthrough,
+        "idxs": idxs,
+        # [D] bool used-mask — already accumulated in-kernel on the Pallas
+        # path; feeding it to update_usage avoids re-deriving it by scatter.
+        "used": used.astype(jnp.bool_),
+    }
 
 
 def update_usage(
-    usage: jnp.ndarray, idxs: jnp.ndarray, dead_rate: int
+    usage: jnp.ndarray,
+    idxs: jnp.ndarray,
+    dead_rate: int,
+    decay: int = 1,
+    used: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Decay unused codes by 1, reset used codes to dead_rate
-    (reference vq.py:190-196), entirely on device."""
+    """Decay unused codes by ``decay``, reset used codes to dead_rate
+    (reference vq.py:190-196), entirely on device.
+
+    ``decay`` is the number of microbatch forwards folded into this call:
+    the reference updates its tracker once per microbatch, so a code unused
+    for a whole optimizer step decays by the microbatch count there. (For
+    codes used in SOME microbatch the reference's final value depends on
+    microbatch order within the step — dead_rate minus the number of later
+    unused microbatches; this single-call form lands on dead_rate exactly.
+    The difference is bounded by decay-1 and only delays death detection by
+    less than one step.)
+
+    ``used`` optionally supplies the precomputed [D] bool mask from
+    vq_forward (in-kernel on the Pallas path); otherwise it is derived from
+    idxs by scatter.
+    """
     num_codes = usage.shape[0]
-    used = jnp.zeros((num_codes,), dtype=jnp.bool_).at[idxs.reshape(-1)].set(True)
+    if used is None:
+        used = jnp.zeros(
+            (num_codes,), dtype=jnp.bool_
+        ).at[idxs.reshape(-1)].set(True)
     return jnp.where(
         used,
         jnp.asarray(dead_rate, usage.dtype),
-        jnp.clip(usage - 1, 0, dead_rate),
+        jnp.clip(usage - decay, 0, dead_rate),
     )
 
 

@@ -187,6 +187,7 @@ class VQVAE(DiffusionModel):
             "ts": ts,
             "mses": mses,
             "idxs": vq_out["idxs"],
+            "used": vq_out["used"],
             "enc_flat": jax.lax.stop_gradient(
                 jnp.reshape(enc_out, (-1, enc_out.shape[-1]))
             ),
