@@ -4,6 +4,11 @@
 set -x
 cd "$(dirname "$0")/.."
 
+# Mirror everything into the repo so partial results survive a round
+# boundary (the driver commits the tree; /tmp may not persist).
+mkdir -p runs
+exec > >(tee -a runs/tpu_queue_results.log) 2>&1
+
 echo "=== tpu_queue start: $(date -u) ==="
 
 # 1. Train throughput (VERDICT #5): batch scaling + f32 reference row.
