@@ -146,3 +146,26 @@ def test_load_from_pretrained_partial(tmp_path):
         lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), merged, v2
     )
     assert all(jax.tree.leaves(chex_equal))
+
+
+def test_orbax_overwrite_and_extra_meta(tmp_path):
+    """Re-saving over an existing Orbax checkpoint must swap atomically (old
+    tree replaced, still loadable) and round-trip extra_meta."""
+    from vq_voice_swap_tpu.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    path = str(tmp_path / "ckpt")
+    v1 = {"params": {"w": np.ones((2, 2), np.float32)}}
+    v2 = {"params": {"w": np.full((2, 2), 7.0, np.float32)}}
+    save_checkpoint_orbax(path, "M", {"a": 1}, v1)
+    save_checkpoint_orbax(path, "M", {"a": 2}, v2, extra_meta={"step": 5})
+
+    cls, kwargs, variables, extra = load_checkpoint_orbax(path)
+    assert cls == "M" and kwargs == {"a": 2}
+    np.testing.assert_array_equal(variables["params"]["w"], v2["params"]["w"])
+    assert extra == {"step": 5}
+    # No stray temp dirs left behind.
+    leftovers = [p for p in tmp_path.iterdir() if p.name.startswith(".ckpt")]
+    assert leftovers == []

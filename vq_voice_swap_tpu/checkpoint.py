@@ -73,6 +73,11 @@ def save_checkpoint(
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(buf.getvalue())
+            f.flush()
+            os.fsync(f.fileno())  # no truncated file at `path` on power loss
+        # mkstemp creates 0600 regardless of umask; match normal file perms
+        # so other-uid eval/serving jobs can keep reading the path.
+        os.chmod(tmp, 0o644)
         os.rename(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
@@ -96,6 +101,7 @@ def save_checkpoint_orbax(
     class_name: str,
     kwargs: Dict[str, Any],
     variables: Dict[str, Any],
+    extra_meta: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Directory-format checkpoint via Orbax, for sharded/multi-host scale.
 
@@ -103,24 +109,41 @@ def save_checkpoint_orbax(
     the Orbax tree), so either backend can rebuild the model. Use this for
     models too large for a single-host npz; Orbax writes each device's
     shards in parallel.
+
+    Crash-safe: the new tree + manifest are written to a sibling temp dir
+    and swapped in with renames, so a kill mid-save leaves the previous
+    checkpoint intact (a process death between the two renames can lose the
+    OLD checkpoint only after the NEW one is fully on disk).
     """
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(
-            {"format": _FORMAT_VERSION, "class": class_name, "kwargs": kwargs},
-            f,
-        )
-    ckptr = ocp.StandardCheckpointer()
-    tree_path = os.path.join(path, "variables")
-    if os.path.exists(tree_path):
-        import shutil
+    meta = {"format": _FORMAT_VERSION, "class": class_name, "kwargs": kwargs}
+    if extra_meta:
+        meta["extra"] = extra_meta
 
-        shutil.rmtree(tree_path)
-    ckptr.save(tree_path, variables)
-    ckptr.wait_until_finished()
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".ckpt_tmp_")
+    try:
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(meta, f)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(tmp, "variables"), variables)
+        ckptr.wait_until_finished()
+        os.chmod(tmp, 0o755)
+        if os.path.exists(path):
+            old = tempfile.mkdtemp(
+                dir=os.path.dirname(path), prefix=".ckpt_old_"
+            )
+            os.rename(path, os.path.join(old, "prev"))
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def load_checkpoint_orbax(

@@ -112,6 +112,7 @@ class ChunkReader:
         self._reader = None
         self._buffer: Optional[np.ndarray] = None
         self._pos = 0
+        self._read_total = 0
 
         if have_ffmpeg():
             read_fd, write_fd = os.pipe()
@@ -161,7 +162,22 @@ class ChunkReader:
         if len(buf) < want:
             self._done = True
         if not buf:
+            # Distinguish "file ended" from "ffmpeg failed before producing
+            # anything" (bad path, unsupported codec — stderr is devnulled):
+            # silently yielding None here would skip the file as if empty.
+            if self._read_total == 0 and self._proc is not None:
+                code = self._proc.wait()
+                if code != 0:
+                    raise RuntimeError(
+                        f"ffmpeg failed to decode {self.path!r} "
+                        f"(exit {code}): missing file or unsupported codec?"
+                    )
             return None
+        if len(buf) % 2:  # decoder killed mid-sample: drop the torn byte
+            buf = buf[:-1]
+            if not buf:
+                return None
+        self._read_total += len(buf)
         linear = np.frombuffer(buf, dtype="<i2").astype(np.float32) / 2**15
         return encode_from_linear(linear, self.encoding)
 
@@ -269,6 +285,9 @@ def lookup_audio_duration(path: str) -> float:
         line = line.strip()
         if line.startswith("Duration:"):
             stamp = line.split(" ")[1].split(",")[0]
-            hours, minutes, seconds = (float(x) for x in stamp.split(":"))
+            try:
+                hours, minutes, seconds = (float(x) for x in stamp.split(":"))
+            except ValueError:  # "Duration: N/A" (raw/corrupt container)
+                break
             return seconds + 60 * (minutes + 60 * hours)
     raise ValueError(f"unexpected ffmpeg output for: {path}")

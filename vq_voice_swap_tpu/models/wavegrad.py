@@ -71,7 +71,6 @@ class UBlock(nn.Module):
     """Upsampling block with three FiLM stages (reference wavegrad.py:163-225)."""
 
     out_channels: int
-    cond_channels: int
     upsample_rate: int
     num_labels: Optional[int] = None
     dtype: Optional[Dtype] = None
@@ -219,7 +218,6 @@ class WaveGradPredictor(nn.Module):
         for i, (mult, rate) in enumerate(u_specs):
             u = UBlock(
                 out_channels=ch * mult,
-                cond_channels=d_outs[-1].shape[-1],
                 upsample_rate=rate,
                 num_labels=self.num_labels,
                 dtype=self.dtype,

@@ -125,7 +125,7 @@ def seq_sharded_conv1d(
         shard_map,
         mesh=mesh,
         in_specs=(P(None, SEQ_AXIS, None), P(None, None, None),
-                  P(None) if bias is not None else P(None)),
+                  P(None)),
         out_specs=P(None, SEQ_AXIS, None),
     )
     def run(x_local, kernel, bias):
@@ -211,11 +211,7 @@ def seq_sharded_upsample(mesh: Mesh, x: jnp.ndarray, factor: int) -> jnp.ndarray
 # --------------------------------------------------------- model execution
 
 
-def _adaptive_groups(ch: int, max_groups: int = 32) -> int:
-    g = max_groups
-    while ch % g:
-        g //= 2
-    return g
+from ..models.layers import adaptive_group_count as _adaptive_groups  # noqa: E402
 
 
 def _seq_conv_from_params(mesh, x, conv_params, stride=1, dilation=1):
