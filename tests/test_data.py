@@ -194,3 +194,36 @@ def test_data_loader_bounded_readahead():
     # Drain to let the thread exit cleanly; all batches still arrive.
     rest = list(it)
     assert len(rest) == 98
+
+
+def test_loader_early_abandon_releases_producer():
+    """Breaking out of iteration mid-epoch (what loop(max_steps=N) does)
+    must release the producer thread and its executor, not leave them
+    pinned on a full queue."""
+    import gc
+    import threading
+    import time as _time
+
+    from vq_voice_swap_tpu.data import create_data_loader
+
+    before = threading.active_count()
+    loader, _ = create_data_loader("tones", batch_size=2)
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # what GC of an abandoned generator does
+    gc.collect()
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= before + 1, (
+        f"{threading.active_count() - before} leaked threads"
+    )
+
+
+def test_loader_batch_larger_than_dataset_raises():
+    from vq_voice_swap_tpu.data import create_data_loader
+
+    loader, _ = create_data_loader("tones", batch_size=1000)
+    with pytest.raises(ValueError, match="batch_size"):
+        next(iter(loader))

@@ -22,6 +22,7 @@ from .audio_io import ChunkReader
 __all__ = ["WindowCache"]
 
 _CHUNK = 1 << 18  # samples per streaming read while building
+_INDEX_EVERY = 200  # files between index checkpoints during build
 
 
 class WindowCache:
@@ -51,8 +52,11 @@ class WindowCache:
         offset = 0
         if os.path.exists(self.arena_path):
             offset = os.path.getsize(self.arena_path) // 4
+        # Checkpoint the index periodically: an interrupted multi-hour build
+        # must lose at most _INDEX_EVERY files of work, not re-decode (and
+        # re-append a duplicate copy of) everything on the next run.
         with open(self.arena_path, "ab") as arena:
-            for path in missing:
+            for done, path in enumerate(missing, 1):
                 length = 0
                 with ChunkReader(path, self.sample_rate) as reader:
                     while True:
@@ -65,13 +69,21 @@ class WindowCache:
                         length += len(chunk)
                 self.index[path] = (offset, length)
                 offset += length
-        with open(self.index_path, "wt") as f:
+                if done % _INDEX_EVERY == 0:
+                    arena.flush()
+                    self._write_index()
+        self._write_index()
+        self._mmap = None  # force re-open at the new size
+
+    def _write_index(self) -> None:
+        tmp = self.index_path + ".tmp"
+        with open(tmp, "wt") as f:
             json.dump(
                 {"sample_rate": self.sample_rate,
                  "files": {k: list(v) for k, v in self.index.items()}},
                 f,
             )
-        self._mmap = None  # force re-open at the new size
+        os.replace(tmp, self.index_path)
 
     # -------------------------------------------------------------- reading
 

@@ -62,8 +62,27 @@ class DataLoader:
             yield order[i : i + self.batch_size]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if len(self) == 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} larger than the dataset "
+                f"({len(self.dataset)} items) with drop_last: no batches "
+                "would ever be produced"
+            )
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def safe_put(item) -> bool:
+            """put() that gives up when the consumer is gone — a plain
+            blocking put would pin this thread (and the executor + decoded
+            batches) forever after an early `break` in the train loop."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         get_batch = getattr(self.dataset, "get_batch", None)
         use_fast = get_batch is not None and getattr(
@@ -84,7 +103,7 @@ class DataLoader:
         def producer():
             # Sliding submission window: at most workers+prefetch batches in
             # flight, so a slow consumer bounds memory to O(window), not
-            # O(epoch) (out_q.put blocks, which throttles new submissions).
+            # O(epoch) (safe_put blocks, which throttles new submissions).
             window = self.num_workers + self.prefetch
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -92,26 +111,45 @@ class DataLoader:
 
                     pending = deque()
                     for idxs in self._batch_indices():
+                        if stop.is_set():
+                            break
                         pending.append(pool.submit(collate, idxs))
                         if len(pending) >= window:
-                            out_q.put(pending.popleft().result())
-                    while pending:
-                        out_q.put(pending.popleft().result())
+                            if not safe_put(pending.popleft().result()):
+                                break
+                    while pending and not stop.is_set():
+                        if not safe_put(pending.popleft().result()):
+                            break
+                    for fut in pending:
+                        fut.cancel()
             except BaseException as exc:  # propagate into the consumer
-                out_q.put(exc)
+                safe_put(exc)
             finally:
-                out_q.put(sentinel)
+                try:
+                    out_q.put_nowait(sentinel)
+                except queue.Full:
+                    pass  # consumer gone; nothing is waiting for it
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on generator close/GC after an
+            # early break: release the producer and its executor.
+            stop.set()
+            while True:  # drain so a blocked safe_put wakes immediately
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=10)
 
 
 def create_data_loader(

@@ -7,6 +7,8 @@ is a pure params-tree transform rather than runtime module mutation.
 
 from typing import Any, Dict, List, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,8 +55,16 @@ def add_labels_to_params(
 ) -> Dict[str, Any]:
     """Grow every label-embedding table by n rows, preserving existing rows at
     the start (end=True) or end (end=False); new rows are standard-normal
-    (reference unet.py:165-176, wavegrad.py:338-349)."""
-    rng = rng if rng is not None else jax.random.key(0)
+    (reference unet.py:165-176, wavegrad.py:338-349).
+
+    Default rng draws fresh host entropy (matching the reference's
+    torch.randn): two successive surgeries must not hand distinct new
+    speakers byte-identical embedding rows. Pass rng for reproducibility.
+    """
+    if rng is None:
+        rng = jax.random.key(
+            int.from_bytes(os.urandom(4), "little")
+        )
     flat = traverse_util.flatten_dict(params, sep="/")
     targets = label_param_paths(params)
     if not targets:

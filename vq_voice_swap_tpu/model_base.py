@@ -94,8 +94,29 @@ def _load_any_checkpoint(path: str):
             }.get(class_name, class_name)
             return registry_name, _translate_kwargs(class_name, kwargs), \
                 variables, {}
-        except Exception:
-            raise npz_err
+        except Exception as torch_err:
+            # A real torch checkpoint that failed mid-conversion must show
+            # the conversion error, not the irrelevant npz parse failure.
+            if _looks_like_torch_file(path):
+                raise torch_err from npz_err
+            raise npz_err from torch_err
+
+
+def _looks_like_torch_file(path: str) -> bool:
+    """True if the file is plausibly a torch checkpoint (zip archive with a
+    .pt-style layout, or the legacy pickle magic) rather than our npz."""
+    if path.endswith((".pt", ".pth")):
+        return True
+    try:
+        import zipfile
+
+        if zipfile.is_zipfile(path):
+            with zipfile.ZipFile(path) as z:
+                return any(n.endswith("data.pkl") for n in z.namelist())
+        with open(path, "rb") as f:
+            return f.read(2) == b"\x80\x02"  # pickle protocol-2 magic
+    except Exception:
+        return False
 
 
 def load_model(path: str) -> Tuple["ModelBase", Dict[str, Any]]:

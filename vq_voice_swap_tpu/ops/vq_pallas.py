@@ -69,7 +69,20 @@ def set_vq_mesh(mesh) -> None:
 def pallas_supported(num_codes: int, num_channels: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    return num_codes % _LANE == 0 and num_channels % _LANE == 0
+    if num_codes % _LANE or num_channels % _LANE:
+        return False
+    # VMEM footprint gate: the kernel keeps the transposed codebook [C, D],
+    # a [TB=512, D] f32 distance tile, the [TB, C] input tile, and the
+    # one-hot [TB, D] live at once. Past ~12 MB Mosaic compilation fails
+    # outright (16 MB/core scoped budget), so fall back to XLA there
+    # rather than crash (e.g. D=16384, C=128 needs ~42 MB).
+    tb = 512
+    approx_bytes = 4 * (
+        num_channels * num_codes          # dict_t
+        + 2 * tb * num_codes              # distances + one-hot
+        + tb * num_channels               # input tile
+    )
+    return approx_bytes <= 12 * 1024 * 1024
 
 
 def _assign_kernel(x_ref, dict_t_ref, dictn_ref, idx_ref, used_ref):

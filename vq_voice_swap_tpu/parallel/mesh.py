@@ -36,10 +36,28 @@ def initialize_multihost() -> None:
     data-parallel mesh code scales across DCN; per-host loaders should feed
     jax.make_array_from_process_local_data.
     """
+    import os
+
     try:
         jax.distributed.initialize()
-    except Exception:
-        pass  # single-host / already initialised
+    except Exception as e:
+        # Only swallow when there is no evidence of a real cluster: on a pod
+        # with coordinator env vars set, a silent fallthrough would leave
+        # each host training an independent single-host model, racing writes
+        # to the same checkpoint path — with no error ever surfaced.
+        cluster_env = any(
+            os.environ.get(k)
+            for k in (
+                "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+            )
+        )
+        if cluster_env:
+            raise RuntimeError(
+                "jax.distributed.initialize() failed but coordinator env "
+                "vars are set — refusing to degrade to single-host training"
+            ) from e
 
 
 def create_mesh(num_devices: Optional[int] = None,
