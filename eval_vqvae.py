@@ -21,7 +21,8 @@ def main():
     args = arg_parser().parse_args()
 
     data_loader, num_labels = create_data_loader(
-        directory=args.data_dir, batch_size=args.batch_size
+        directory=args.data_dir, batch_size=args.batch_size,
+        encoding=args.encoding,
     )
 
     print("loading model from checkpoint...")
@@ -84,6 +85,9 @@ def arg_parser():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
     parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--encoding", type=str, default="linear",
+                        help="waveform encoding the model was trained with "
+                             "(ulaw for the conv-mfcc-ulaw recipes)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("checkpoint_path", type=str)
     parser.add_argument("data_dir", type=str)

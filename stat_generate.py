@@ -112,8 +112,22 @@ def segments_from_files(files: List[str]) -> Iterator[np.ndarray]:
         with ChunkReader(path, sample_rate=16000) as reader:
             return reader.read(16000 * int(duration + 2))
 
+    # Bounded submission window: Executor.map submits every file up front,
+    # so on a large sample dir the readers outrun the TPU featurize loop
+    # and the whole directory's decoded audio accumulates in finished
+    # futures (OOM). Cap in-flight work like data/loader.py's readahead.
+    from collections import deque
+
+    window = 16
     with ThreadPoolExecutor(4) as pool:
-        yield from pool.map(read, files)
+        pending = deque()
+        it = iter(files)
+        for path in it:
+            pending.append(pool.submit(read, path))
+            if len(pending) >= window:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
 
 
 def arg_parser():

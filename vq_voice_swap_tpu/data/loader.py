@@ -157,6 +157,7 @@ def create_data_loader(
     batch_size: int,
     encoding: str = "linear",
     num_workers: int = 4,
+    seed: int = 0,
     **dataset_kwargs,
 ) -> Tuple[DataLoader, int]:
     """Build (loader, num_labels). ``directory == "tones"`` selects the
@@ -171,5 +172,6 @@ def create_data_loader(
         shuffle=True,
         drop_last=True,
         num_workers=num_workers,
+        seed=seed,
     )
     return loader, len(dataset.speaker_ids)

@@ -87,8 +87,17 @@ def _scan_resume_point(path: str) -> Tuple[int, int]:
 class Logger:
     """Write metrics to a file and stdout; resumable with truncation."""
 
-    def __init__(self, out_filename: str, resume: bool = False):
+    def __init__(self, out_filename: str, resume: bool = False,
+                 write: bool = True):
+        """``write=False`` (non-primary hosts of a multi-host run) still
+        scans the resume point — start_step must agree across hosts so the
+        per-step rng folds match — but never touches the file."""
         self.start_step = 0
+        if not write:
+            self.out_file = None
+            if resume:
+                self.start_step, _ = _scan_resume_point(out_filename)
+            return
         if not resume:
             self.out_file = open(out_filename, "w+")
             return
@@ -101,13 +110,17 @@ class Logger:
     def log(self, step: int, **kwargs):
         fields = " ".join(f"{k}={v:.05f}" for k, v in kwargs.items())
         line = f"step {step + self.start_step}: {fields}"
-        self.out_file.write(line + "\n")
-        self.out_file.flush()
+        if self.out_file is not None:
+            self.out_file.write(line + "\n")
+            self.out_file.flush()
         print(line)
 
     def mark_save(self):
+        if self.out_file is None:
+            return
         self.out_file.write(SAVED_MSG)
         self.out_file.flush()
 
     def close(self):
-        self.out_file.close()
+        if self.out_file is not None:
+            self.out_file.close()

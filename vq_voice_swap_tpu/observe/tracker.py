@@ -26,7 +26,10 @@ class LossTracker:
         ]
 
     def add(self, ts, losses) -> None:
-        ts = np.asarray(ts).reshape(-1)
+        # float64: in f32 the 1e-8 epsilon rounds away and ts==1.0 would map
+        # to a nonexistent bucket (reference loss_tracker.py uses Python
+        # floats, i.e. f64 semantics).
+        ts = np.asarray(ts, np.float64).reshape(-1)
         losses = np.asarray(losses).reshape(-1)
         buckets = (ts * (self.quantiles - 1e-8)).astype(np.int64)
         for q in range(self.quantiles):

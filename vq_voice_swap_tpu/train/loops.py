@@ -67,6 +67,14 @@ class TrainLoop(ABC):
 
         os.makedirs(args.output_dir, exist_ok=True)
 
+        # Multi-host: a no-op single-host; on a pod this makes jax.devices()
+        # span all hosts BEFORE the mesh is built (and refuses to silently
+        # degrade when coordinator env vars are set — parallel/mesh.py).
+        from ..parallel import initialize_multihost
+
+        initialize_multihost()
+        self.is_primary = jax.process_index() == 0
+
         self.mesh = create_mesh()
         # Keep the fused Pallas VQ assignment enabled under this mesh
         # (ops/vq_pallas.py runs it per-shard inside shard_map).
@@ -223,6 +231,10 @@ class TrainLoop(ABC):
             directory=self.args.data_dir,
             batch_size=self.args.batch_size,
             encoding=self.args.encoding,
+            # Distinct shuffle stream per host: with a shared seed every
+            # host would feed the SAME samples, silently shrinking the
+            # effective global batch diversity by the host count.
+            seed=self.rng_seed + jax.process_index(),
         )
 
     def create_model(self) -> Tuple[ModelBase, Dict[str, Any], bool]:
@@ -268,7 +280,10 @@ class TrainLoop(ABC):
         return opt_state
 
     def create_logger_tracker(self) -> Tuple[Logger, LossTracker]:
-        return Logger(self.log_path(), resume=self.resume), LossTracker()
+        # Non-primary hosts read the resume step but never write the log.
+        return Logger(
+            self.log_path(), resume=self.resume, write=self.is_primary
+        ), LossTracker()
 
     def frozen_predicate(self) -> Optional[Callable[[str], bool]]:
         return None
@@ -282,6 +297,8 @@ class TrainLoop(ABC):
     # -------------------------------------------------------------- saving
 
     def save(self):
+        if not self.is_primary:
+            return  # params are replicated; only host 0 persists them
         variables = {"params": self.state.params}
         if jax.tree.leaves(self.state.buffers):
             variables["buffers"] = self.state.buffers
@@ -317,6 +334,8 @@ class TrainLoop(ABC):
         return os.path.join(self.args.output_dir, "train_log.txt")
 
     def write_run_info(self):
+        if not self.is_primary:
+            return
         filename = f"run_info_{int(time.time())}.json"
         info = dict(
             args=vars(self.args),
@@ -619,6 +638,14 @@ class VQVAEUncondTrainLoop(VQVAETrainLoop):
         pretrained, _ = VQVAE.load(self.args.pretrained_path)
         self.pretrained_num_labels = pretrained.num_labels
         self.pretrained_kwargs = pretrained.save_kwargs()
+        # flax nn.Embed clamps out-of-range indices inside jit (unlike the
+        # reference's torch nn.Embedding, which crashes): extra dataset
+        # speakers would otherwise all silently train the last row.
+        assert self.num_labels <= self.pretrained_num_labels, (
+            f"dataset has {self.num_labels} speakers but the pretrained "
+            f"VQVAE knows {self.pretrained_num_labels}; grow the label "
+            f"space with train_vqvae_add.py first"
+        )
         return super().create_model()
 
     def create_new_model(self):
@@ -704,10 +731,6 @@ class _CurriculumMixin:
 
 class ClassifierTrainLoop(_CurriculumMixin, TrainLoop):
     """Train the noised-audio classifier (reference train_loop.py:546-594)."""
-
-    def __init__(self, args=None):
-        super().__init__(args)
-        self.diffusion = Diffusion(make_schedule(self.args.schedule))
 
     def model_class(self):
         return ClassifierModel
