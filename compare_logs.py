@@ -35,6 +35,10 @@ def main():
                 for step, kvs in read_log(filename)
             ]
             entries = [(x, y) for x, y in entries if y is not None]
+            if not entries:
+                print(f"warning: field {field!r} matched nothing in "
+                      f"{filename}; skipping that series")
+                continue
             xs, ys = zip(*entries)
             ys = moving_average(ys, args.smoothing)
             plt.plot(xs, ys, label=f"{name} {field}")

@@ -20,7 +20,8 @@ def main():
     args = arg_parser().parse_args()
 
     data_loader, _ = create_data_loader(
-        directory=args.data_dir, batch_size=args.batch_size
+        directory=args.data_dir, batch_size=args.batch_size,
+        encoding=args.encoding,
     )
 
     print("loading model from checkpoint...")
@@ -29,15 +30,12 @@ def main():
     @jax.jit
     def eval_batch(rng, samples, labels):
         x = samples[..., None]
-        t_rng, n_rng = jax.random.split(rng)
-        ts = jax.random.uniform(t_rng, (x.shape[0],))
-        noise = jax.random.normal(n_rng, x.shape, dtype=x.dtype)
-        noised = model.diffusion.sample_q(x, ts, epsilon=noise)
         # Class-conditional models are evaluated with the true labels.
         lab = labels if model.num_labels is not None else None
-        pred = model.predict_eps(variables, noised, ts, labels=lab)
-        sq = jnp.square(noise - pred)
-        return ts, jnp.mean(jnp.reshape(sq, (x.shape[0], -1)), axis=1)
+        # Same code path as training: DiffusionModel.losses draws ts/noise
+        # and returns the per-element eps-MSE.
+        losses, ts = model.losses(variables, rng, x, labels=lab)
+        return ts, losses
 
     tracker = LossTracker(avg_size=1_000_000)
     num_samples = 0
@@ -59,6 +57,8 @@ def arg_parser():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
     parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--encoding", type=str, default="linear",
+                        help="waveform encoding the model was trained with")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("checkpoint_path", type=str)
     parser.add_argument("data_dir", type=str)

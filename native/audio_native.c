@@ -3,14 +3,16 @@
  * The reference does per-item decode + µ-law in Python/numpy through an
  * ffmpeg subprocess per __getitem__ (reference dataset.py:100-110, 324-347).
  * Our loader already amortises decode via the window cache (data/cache.py);
- * this extension provides the remaining per-batch host work as C kernels so
- * the single data-loader core keeps a TPU fed:
+ * this extension provides batch assembly as a C kernel so the single
+ * data-loader core keeps a TPU fed:
  *
- *   - pcm16_to_f32:  s16le bytes -> float32 in [-1, 1]
- *   - ulaw_encode / ulaw_decode: µ-law companding (µ = 255)
  *   - gather_windows: assemble a [N, W] float32 batch from an arena of
  *     decoded audio given (offset, length) spans — one memcpy per row plus
- *     zero tail-padding, no Python per-row overhead.
+ *     zero tail-padding, no Python per-row overhead, GIL released. This is
+ *     the kernel the production loader uses (data/cache.py::read_windows).
+ *   - pcm16_to_f32, ulaw_encode / ulaw_decode (µ = 255): available for
+ *     pipelines that bypass the cache; the in-repo audio_io path does these
+ *     in vectorised numpy and only the tests exercise the C versions.
  *
  * Built as a plain CPython extension (no pybind11): see native/setup.py.
  */
@@ -115,6 +117,8 @@ static PyObject *gather_windows(PyObject *self, PyObject *args) {
   const int64_t *avail_v = (const int64_t *)avail.buf;
   float *dst = (float *)PyBytes_AS_STRING(out);
 
+  /* Validate every row first, so the copy loop below can run without the
+   * GIL (no Python API calls inside). */
   for (Py_ssize_t r = 0; r < rows; r++) {
     int64_t s = start_v[r];
     int64_t n = avail_v[r];
@@ -127,9 +131,19 @@ static PyObject *gather_windows(PyObject *self, PyObject *args) {
       PyErr_SetString(PyExc_ValueError, "window out of arena bounds");
       return NULL;
     }
+  }
+  /* The arena is usually a disk-backed memmap: cold pages fault during the
+   * memcpy. Holding the GIL here would serialize every loader worker (and
+   * the consumer) behind that blocking I/O. */
+  Py_BEGIN_ALLOW_THREADS
+  for (Py_ssize_t r = 0; r < rows; r++) {
+    int64_t s = start_v[r];
+    int64_t n = avail_v[r];
+    if (n > window) n = window;
     memcpy(dst + r * window, src + s, n * 4);
     if (n < window) memset(dst + r * window + n, 0, (window - n) * 4);
   }
+  Py_END_ALLOW_THREADS
   PyBuffer_Release(&arena);
   PyBuffer_Release(&starts);
   PyBuffer_Release(&avail);

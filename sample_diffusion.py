@@ -104,6 +104,13 @@ def main():
         if num_labels is None:
             return None
         if args.target_class is not None:
+            # jnp.take clamps out-of-range indices inside jit, which would
+            # silently sample the wrong class (torch raises here).
+            if not 0 <= args.target_class < num_labels:
+                raise SystemExit(
+                    f"--target-class {args.target_class} out of range for a "
+                    f"{num_labels}-class model"
+                )
             return jnp.full((batch,), args.target_class, dtype=jnp.int32)
         return jax.random.randint(rng, (batch,), 0, num_labels)
 

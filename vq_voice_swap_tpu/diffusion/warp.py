@@ -37,8 +37,12 @@ def make_warp(name: Optional[str]) -> Optional[TimeWarp]:
         return lambda t: jnp.sqrt(t)
     m = _POW_RE.match(name)
     if m:
-        p = float(m.group(1))
-        return lambda t: jnp.power(t, p)
+        try:
+            p = float(m.group(1))
+        except ValueError:
+            m = None  # e.g. "pow:1.2.3" — fall to the descriptive error
+        if m:
+            return lambda t: jnp.power(t, p)
     raise ValueError(
         f"unknown time warp: {name!r} "
         "(use 'linear', 'quadratic', 'sqrt', or 'pow:X')"
