@@ -94,3 +94,29 @@ def test_ema_update():
     # w: 0 + (1-0.5)*(2-0) = 1. frozen/x: rate 1.0 -> unchanged.
     np.testing.assert_allclose(float(out["w"]), 1.0)
     np.testing.assert_allclose(float(out["frozen"]["x"]), 0.0)
+
+
+def test_logger_readonly_resume(tmp_path):
+    """write=False (non-primary hosts) must report the same resume step as
+    the writing logger without touching the file."""
+    from vq_voice_swap_tpu.observe import Logger
+
+    path = str(tmp_path / "train_log.txt")
+    lg = Logger(path)
+    lg.log(1, loss=1.0)
+    lg.log(2, loss=0.9)
+    lg.mark_save()
+    lg.log(3, loss=0.8)  # past the sentinel: truncated on resume
+    lg.close()
+    before = open(path).read()
+
+    ro = Logger(path, resume=True, write=False)
+    assert open(path).read() == before  # untouched (no truncation)
+    ro.log(5, loss=0.5)  # stdout only
+    ro.mark_save()
+    ro.close()
+    assert open(path).read() == before
+
+    rw = Logger(path, resume=True)
+    assert rw.start_step == ro.start_step == 2
+    rw.close()
