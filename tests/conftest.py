@@ -12,11 +12,16 @@ import os
 # plugin re-appends itself to jax_platforms, so the env var alone is not
 # enough — jax.config.update below is authoritative.
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Forced, like JAX_PLATFORMS above: a pre-existing flag with a different
+# device count (leaked from a bench script or CI env) would otherwise
+# survive the substring check and abort the session on the assert below.
+_flags = [
+    f for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+os.environ["XLA_FLAGS"] = " ".join(
+    _flags + ["--xla_force_host_platform_device_count=8"]
+)
 
 import jax  # noqa: E402
 

@@ -15,7 +15,8 @@ mismatch:
   points, no filterbank normalisation (norm=None).
 - ``MFCC(log_mels=True)``: ``log(mel + 1e-6)``; ``log_mels=False``:
   ``AmplitudeToDB('power', top_db=80)`` = ``10*log10(clamp(mel, 1e-10))``
-  clamped per batch item to ``max - top_db``.
+  clamped to a single global ``max - top_db`` floor across the
+  whole batch (torchaudio folds the batch dim into channels for 3-D input).
 - DCT-II with 'ortho' norm over the mel axis, first n_mfcc coefficients
   (validated here via scipy.fft.dct rather than an explicit matrix).
 
@@ -82,7 +83,11 @@ def mfcc_numpy(
         feats = np.log(mel + 1e-6)
     else:
         db = 10.0 * np.log10(np.clip(mel, 1e-10, None))
-        floor = db.reshape(db.shape[0], -1).max(axis=1)[:, None, None] - top_db
+        # Global (whole-batch) floor: torchaudio's amplitude_to_DB folds the
+        # leading dim of a 3-D [N, mels, time] input into "channels" and
+        # takes one amax over everything (functional.py reshape to
+        # (1, N, mels, time), amax over the last three dims).
+        floor = db.max() - top_db
         feats = np.maximum(db, floor)
 
     return dct(feats, type=2, axis=-1, norm="ortho")[..., :n_mfcc]

@@ -28,7 +28,6 @@ if REFERENCE not in sys.path:
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from util import jinit  # noqa: E402
 
 from vq_voice_swap_tpu.convert.torch_import import convert_state_dict  # noqa: E402
 

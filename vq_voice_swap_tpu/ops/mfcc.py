@@ -107,7 +107,13 @@ def mfcc(x: jnp.ndarray, cfg: MFCCConfig) -> jnp.ndarray:
     else:
         amin = 1e-10
         db = 10.0 * jnp.log10(jnp.maximum(mel, amin))
-        # Clamp to top_db below each item's max (amplitude_to_DB semantics).
-        ceil = jnp.max(db, axis=(1, 2), keepdims=True) - cfg.top_db
+        # torchaudio amplitude_to_DB semantics for the 3-D [N, mels, time]
+        # input MFCC produces: the leading dim is folded into "channels",
+        # so the top_db floor is a SINGLE global max over the whole batch
+        # (torchaudio functional.py reshapes to (1, N, mels, time) and
+        # amaxes the last three dims) — NOT a per-item clamp. Yes, that
+        # makes each item's features depend on its batchmates; parity with
+        # the reference checkpoints requires reproducing it exactly.
+        ceil = jnp.max(db) - cfg.top_db
         feats = jnp.maximum(db, ceil)
     return feats @ jnp.asarray(cfg.dct)  # [N, frames, n_mfcc]
