@@ -102,6 +102,7 @@ class TrainLoop(ABC):
             frozen_fn=self.frozen_predicate(),
             lr_final=getattr(args, "lr_final", None),
             lr_anneal_steps=getattr(args, "lr_anneal_steps", None),
+            grad_clip=getattr(args, "grad_clip", None),
         )
         opt_state = self.create_opt_state(params)
 
@@ -375,6 +376,8 @@ class TrainLoop(ABC):
                             help="linearly anneal to this LR (the released "
                                  "unet64 recipe) over --lr-anneal-steps")
         parser.add_argument("--lr-anneal-steps", default=None, type=int)
+        parser.add_argument("--grad-clip", default=None, type=float,
+                            help="clip gradients to this global norm")
         parser.add_argument("--ema-rate", default="0.9999", type=str)
         parser.add_argument("--weight-decay", default=0.0, type=float)
         parser.add_argument("--batch-size", default=8, type=int)

@@ -53,6 +53,7 @@ def build_optimizer(
     frozen_fn: Optional[Callable[[str], bool]] = None,
     lr_final: Optional[float] = None,
     lr_anneal_steps: Optional[int] = None,
+    grad_clip: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """AdamW with torch-default betas/eps; frozen subtrees get set_to_zero
     (equivalently zeroed Adam moments, reference train_loop.py:200-225).
@@ -72,6 +73,10 @@ def build_optimizer(
         learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=weight_decay,
     )
+    if grad_clip:
+        # Clip BEFORE Adam so the clip threshold is in gradient units
+        # (beyond-reference: standard production guard against loss spikes).
+        adamw = optax.chain(optax.clip_by_global_norm(grad_clip), adamw)
     if frozen_fn is None:
         return adamw
     labels = freeze_label_tree(params, frozen_fn)
