@@ -227,3 +227,92 @@ def test_loader_batch_larger_than_dataset_raises():
     loader, _ = create_data_loader("tones", batch_size=1000)
     with pytest.raises(ValueError, match="batch_size"):
         next(iter(loader))
+
+
+class _IndexDataset:
+    """Dataset whose label IS the index — for shard/ordering assertions."""
+
+    def __init__(self, n):
+        self.n = n
+        self.speaker_ids = [0]
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"label": i, "samples": np.zeros(8, np.float32)}
+
+
+def test_loader_sentinel_survives_full_queue():
+    """Regression: a slow consumer keeps the prefetch queue full, so the
+    end-of-epoch sentinel must use a blocking (stop-aware) put. With the
+    old put_nowait the sentinel was dropped and iteration hung forever
+    after the last batch."""
+    import threading
+    import time as _time
+
+    loader = DataLoader(
+        _IndexDataset(12), batch_size=1, num_workers=2, prefetch=1,
+        shuffle=False,
+    )
+    got = []
+    done = threading.Event()
+
+    def consume():
+        for batch in loader:
+            got.append(int(batch["label"][0]))
+            _time.sleep(0.05)  # slower than decode => queue stays full
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert done.wait(timeout=30), (
+        f"iteration hung at epoch boundary after {len(got)}/12 batches"
+    )
+    assert got == list(range(12))
+
+
+def test_loader_host_sharding_is_a_global_epoch():
+    """num_shards hosts with the SAME seed take equal-size disjoint slices
+    of one shared permutation: no sample repeats within a global step's
+    worth of shards and the union covers the epoch."""
+    n, shards = 31, 3
+    per_shard = []
+    for k in range(shards):
+        loader = DataLoader(
+            _IndexDataset(n), batch_size=5, num_workers=1, seed=7,
+            shard_index=k, num_shards=shards,
+        )
+        assert len(loader) == (n // shards) // 5
+        labels = np.concatenate([b["label"] for b in loader])
+        per_shard.append(set(int(x) for x in labels))
+        assert len(per_shard[-1]) == 10  # 31 -> 30 usable -> 10/shard
+    # Disjoint across shards.
+    assert len(set.union(*per_shard)) == sum(len(s) for s in per_shard)
+
+
+def test_loader_shard_epochs_decorrelated_across_hosts():
+    """Regression: host k's epoch e must not replay host k+1's epoch e-1
+    (the old per-host `seed + process_index` offset collided with the
+    per-epoch `seed + epoch` increment)."""
+    def epoch_labels(shard, n_epochs):
+        loader = DataLoader(
+            _IndexDataset(30), batch_size=5, num_workers=1, seed=3,
+            shard_index=shard, num_shards=2,
+        )
+        return [
+            tuple(int(x) for b in loader for x in b["label"])
+            for _ in range(n_epochs)
+        ]
+
+    host0 = epoch_labels(0, 3)
+    host1 = epoch_labels(1, 3)
+    for e in range(1, 3):
+        assert host0[e] != host1[e - 1]
+        assert host1[e] != host0[e - 1]
+
+
+def test_loader_shard_index_validation():
+    with pytest.raises(ValueError, match="shard"):
+        DataLoader(_IndexDataset(10), batch_size=2, shard_index=2,
+                   num_shards=2)

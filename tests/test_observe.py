@@ -120,3 +120,16 @@ def test_logger_readonly_resume(tmp_path):
     rw = Logger(path, resume=True)
     assert rw.start_step == ro.start_step == 2
     rw.close()
+
+
+def test_logger_readonly_resume_missing_file(tmp_path):
+    """A non-primary host without a shared filesystem has no log file to
+    scan; the logger must not raise (the train loop then broadcasts the
+    authoritative start_step from process 0)."""
+    from vq_voice_swap_tpu.observe import Logger
+
+    ro = Logger(str(tmp_path / "absent.txt"), resume=True, write=False)
+    assert ro.start_step == 0
+    ro.log(1, loss=1.0)  # stdout only; still must not create the file
+    ro.close()
+    assert not (tmp_path / "absent.txt").exists()

@@ -31,7 +31,18 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         seed: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_index``/``num_shards`` partition each epoch across hosts:
+        all shards draw ONE shared permutation per epoch (seeded by
+        ``seed + epoch`` — identical on every host) and take disjoint
+        strided slices of it, so a global step never sees the same sample
+        twice and a nominal epoch traverses the dataset exactly once
+        globally. Every shard gets exactly ``len(dataset) // num_shards``
+        items so hosts stay in lockstep for collectives."""
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(f"shard {shard_index} not in [0, {num_shards})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,9 +51,11 @@ class DataLoader:
         self.prefetch = prefetch
         self._epoch = 0
         self._seed = seed
+        self.shard_index = shard_index
+        self.num_shards = num_shards
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -53,6 +66,10 @@ class DataLoader:
             rng = np.random.RandomState((self._seed + self._epoch) % 2**31)
             rng.shuffle(order)
         self._epoch += 1
+        if self.num_shards > 1:
+            # Equal-size disjoint shards of the shared permutation.
+            usable = len(order) - len(order) % self.num_shards
+            order = order[self.shard_index : usable : self.num_shards]
         end = (
             len(order) - len(order) % self.batch_size
             if self.drop_last
@@ -125,10 +142,12 @@ class DataLoader:
             except BaseException as exc:  # propagate into the consumer
                 safe_put(exc)
             finally:
-                try:
-                    out_q.put_nowait(sentinel)
-                except queue.Full:
-                    pass  # consumer gone; nothing is waiting for it
+                # Blocking stop-aware put: with a full prefetch queue (the
+                # steady state when the consumer is slower than decode) a
+                # put_nowait would drop the sentinel and hang the consumer
+                # at the epoch boundary. safe_put only gives up once the
+                # consumer has set `stop`, i.e. nothing is waiting for it.
+                safe_put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -158,10 +177,14 @@ def create_data_loader(
     encoding: str = "linear",
     num_workers: int = 4,
     seed: int = 0,
+    shard_index: int = 0,
+    num_shards: int = 1,
     **dataset_kwargs,
 ) -> Tuple[DataLoader, int]:
     """Build (loader, num_labels). ``directory == "tones"`` selects the
-    synthetic fixture (reference dataset.py:31-32)."""
+    synthetic fixture (reference dataset.py:31-32). ``shard_index`` /
+    ``num_shards`` give each host a disjoint slice of a shared per-epoch
+    permutation (see DataLoader)."""
     if directory == "tones":
         dataset = ToneDataset(encoding=encoding)
     else:
@@ -173,5 +196,7 @@ def create_data_loader(
         drop_last=True,
         num_workers=num_workers,
         seed=seed,
+        shard_index=shard_index,
+        num_shards=num_shards,
     )
     return loader, len(dataset.speaker_ids)

@@ -96,7 +96,14 @@ class Logger:
         if not write:
             self.out_file = None
             if resume:
-                self.start_step, _ = _scan_resume_point(out_filename)
+                try:
+                    self.start_step, _ = _scan_resume_point(out_filename)
+                except FileNotFoundError:
+                    # No shared filesystem: host 0 owns the log. Leave 0
+                    # here — TrainLoop.create_logger_tracker broadcasts
+                    # start_step from process 0 so per-step rng folds stay
+                    # in agreement across hosts either way.
+                    pass
             return
         if not resume:
             self.out_file = open(out_filename, "w+")

@@ -232,10 +232,15 @@ class TrainLoop(ABC):
             directory=self.args.data_dir,
             batch_size=self.args.batch_size,
             encoding=self.args.encoding,
-            # Distinct shuffle stream per host: with a shared seed every
-            # host would feed the SAME samples, silently shrinking the
-            # effective global batch diversity by the host count.
-            seed=self.rng_seed + jax.process_index(),
+            # All hosts share the shuffle seed and take disjoint shards of
+            # one global per-epoch permutation — a global step never sees a
+            # sample twice and each epoch covers the dataset exactly once.
+            # (A per-host `seed + process_index` offset would collide with
+            # the per-epoch `seed + epoch` increment: host k at epoch e
+            # replays host k+1's epoch e-1 permutation.)
+            seed=self.rng_seed,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
         )
 
     def create_model(self) -> Tuple[ModelBase, Dict[str, Any], bool]:
@@ -282,9 +287,21 @@ class TrainLoop(ABC):
 
     def create_logger_tracker(self) -> Tuple[Logger, LossTracker]:
         # Non-primary hosts read the resume step but never write the log.
-        return Logger(
+        logger = Logger(
             self.log_path(), resume=self.resume, write=self.is_primary
-        ), LossTracker()
+        )
+        if jax.process_count() > 1:
+            # Without a shared filesystem non-primary hosts cannot scan the
+            # host-0 log; make process 0 authoritative so start_step (and
+            # hence the per-step rng fold) agrees everywhere.
+            from jax.experimental import multihost_utils
+
+            logger.start_step = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.int64(logger.start_step)
+                )
+            )
+        return logger, LossTracker()
 
     def frozen_predicate(self) -> Optional[Callable[[str], bool]]:
         return None
