@@ -207,3 +207,66 @@ def test_build_optimizer_grad_clip():
     state = tx.init(params)
     updates, _ = tx.update(big, state, params)
     assert float(jnp.abs(updates["w"]).max()) <= 1.1e-2
+
+
+def test_microbatch_remainder_weighted_accumulation():
+    """batch=6 with microbatch=4 splits into chunks of 4 and 2, weighted
+    4/6 and 2/6 (reference train_loop.py:99-112). For a deterministic
+    per-example-mean loss that weighting reproduces the full-batch
+    gradient exactly, and the per-example aux arrays reassemble in batch
+    order."""
+    import jax
+    import jax.numpy as jnp
+    from vq_voice_swap_tpu.train import make_train_step
+    from vq_voice_swap_tpu.train.state import TrainState
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "x": jnp.asarray(rng.randn(6, 3), jnp.float32),
+        "y": jnp.asarray(rng.randn(6, 2), jnp.float32),
+        "t": jnp.arange(6, dtype=jnp.float32),
+    }
+    params = {"w": jnp.asarray(rng.randn(3, 2), jnp.float32)}
+
+    def loss_fn(params, buffers, rng, batch, ctx):
+        per_ex = jnp.sum((batch["x"] @ params["w"] - batch["y"]) ** 2, -1)
+        loss = jnp.mean(per_ex)
+        return loss, {"mses": per_ex, "ts": batch["t"],
+                      "extra": {"l": loss}}
+
+    def run(microbatches, micro_remainder):
+        tx = optax.sgd(1.0)
+        step = make_train_step(
+            loss_fn, tx, ema_rate_trees={},
+            microbatches=microbatches, micro_remainder=micro_remainder,
+            donate=False,
+        )
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params, buffers={},
+            opt_state=tx.init(params), emas={},
+        )
+        return step(state, batch, jax.random.key(0), None)
+
+    full_state, full_metrics = run(1, 0)
+    acc_state, acc_metrics = run(1, 2)  # one chunk of 4 + remainder of 2
+
+    np.testing.assert_allclose(
+        np.asarray(acc_state.params["w"]),
+        np.asarray(full_state.params["w"]), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(acc_metrics["loss"]), float(full_metrics["loss"]), rtol=1e-5
+    )
+    # Aux arrays come back in original batch order despite the split.
+    np.testing.assert_array_equal(
+        np.asarray(acc_metrics["ts"]), np.arange(6, dtype=np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc_metrics["mses"]), np.asarray(full_metrics["mses"]),
+        rtol=1e-5,
+    )
+    # Scalar extras are batch-share weighted: equal to the full-batch value.
+    np.testing.assert_allclose(
+        float(acc_metrics["extra"]["l"]), float(full_metrics["loss"]),
+        rtol=1e-5,
+    )

@@ -122,17 +122,20 @@ class TrainLoop(ABC):
         rate_trees = {
             str(r): build_rate_tree(params, {"": r}) for r in self.ema_rates
         }
-        microbatches = 1
+        microbatches, micro_remainder = 1, 0
         if args.microbatch and args.microbatch < args.batch_size:
-            assert args.batch_size % args.microbatch == 0, (
-                "batch size must be divisible by microbatch size"
-            )
+            # Non-divisible batches use the reference's weighted accumulation
+            # (train_loop.py:99-112): full chunks scan-accumulate, the
+            # trailing partial chunk is one extra statically-shaped grad
+            # call weighted by its share of the batch.
             microbatches = args.batch_size // args.microbatch
+            micro_remainder = args.batch_size % args.microbatch
         self.train_step = make_train_step(
             self.build_loss_fn(),
             self.tx,
             ema_rate_trees=rate_trees,
             microbatches=microbatches,
+            micro_remainder=micro_remainder,
             vq_rule=self.vq_update_rule(),
         )
         self.frozen_ctx = self.build_frozen_ctx()

@@ -47,33 +47,45 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema_rate_trees: Dict[str, Any],
     microbatches: int = 1,
+    micro_remainder: int = 0,
     vq_rule: Optional[VQUpdateRule] = None,
     donate: bool = True,
 ):
-    """Build a jitted (state, batch, rng) -> (state, metrics) train step."""
+    """Build a jitted (state, batch, rng) -> (state, metrics) train step.
 
-    def split_micro(batch):
-        def reshape(x):
-            n = x.shape[0]
-            assert n % microbatches == 0, (
-                f"batch size {n} not divisible by {microbatches} microbatches"
-            )
-            return jnp.reshape(
-                x, (microbatches, n // microbatches) + x.shape[1:]
-            )
-
-        return jax.tree.map(reshape, batch)
+    ``microbatches`` is the number of FULL microbatches; ``micro_remainder``
+    is the size of one trailing partial microbatch (0 if the batch divides
+    evenly). Non-divisible batches match the reference's weighted
+    accumulation (train_loop.py:99-112: each chunk's gradient is weighted by
+    its share of the batch) — here as a ``lax.scan`` over the equal-size
+    chunks plus ONE extra statically-shaped grad call for the remainder, so
+    every shape stays static under jit.
+    """
+    n_forwards = microbatches + (1 if micro_remainder else 0)
 
     def train_step(state: TrainState, batch, rng: jax.Array, ctx=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        if microbatches == 1:
+        if microbatches == 1 and not micro_remainder:
             (loss, aux), grads = grad_fn(
                 state.params, state.buffers, rng, batch, ctx
             )
         else:
-            micro = split_micro(batch)
-            keys = jax.random.split(rng, microbatches)
+            batch_size = jax.tree.leaves(batch)[0].shape[0]
+            full = batch_size - micro_remainder
+            micro_size, rem = divmod(full, microbatches)
+            assert rem == 0, (
+                f"batch {batch_size} != {microbatches}x{micro_size}"
+                f"+{micro_remainder}"
+            )
+            micro = jax.tree.map(
+                lambda x: jnp.reshape(
+                    x[:full], (microbatches, micro_size) + x.shape[1:]
+                ),
+                batch,
+            )
+            keys = jax.random.split(rng, n_forwards)
+            w_full = micro_size / batch_size  # reference weight len(mb)/len(b)
 
             def body(carry, inputs):
                 grads_acc, loss_acc = carry
@@ -82,22 +94,45 @@ def make_train_step(
                     state.params, state.buffers, key, mb, ctx
                 )
                 grads_acc = jax.tree.map(
-                    lambda a, g: a + g / microbatches, grads_acc, mb_grads
+                    lambda a, g: a + g * w_full, grads_acc, mb_grads
                 )
-                return (grads_acc, loss_acc + mb_loss / microbatches), mb_aux
+                return (grads_acc, loss_acc + mb_loss * w_full), mb_aux
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             (grads, loss), aux_stack = jax.lax.scan(
-                body, (zero_grads, 0.0), (keys, micro)
+                body, (zero_grads, 0.0), (keys[:microbatches], micro)
             )
             # Re-flatten stacked per-microbatch aux back to full-batch shape;
-            # scalar extras average across microbatches (equal weights).
+            # scalar extras are weighted like the losses.
             aux = {
-                k: (jax.tree.map(jnp.mean, v) if k == "extra"
+                k: (jax.tree.map(lambda v: jnp.mean(v), v) if k == "extra"
                     else jnp.any(v, axis=0) if k == "used"  # [M, D] -> [D]
                     else jnp.reshape(v, (-1,) + v.shape[2:]))
                 for k, v in aux_stack.items()
             }
+            if micro_remainder:
+                rem = jax.tree.map(lambda x: x[full:], batch)
+                (rem_loss, rem_aux), rem_grads = grad_fn(
+                    state.params, state.buffers, keys[-1], rem, ctx
+                )
+                w_rem = micro_remainder / batch_size
+                grads = jax.tree.map(
+                    lambda a, g: a + g * w_rem, grads, rem_grads
+                )
+                loss = loss + rem_loss * w_rem
+                merged = {}
+                for k, v in aux.items():
+                    if k == "extra":
+                        merged[k] = jax.tree.map(
+                            # Stacked mean covered w_full*M of the mass.
+                            lambda a, b: a * (1.0 - w_rem) + b * w_rem,
+                            v, rem_aux[k],
+                        )
+                    elif k == "used":
+                        merged[k] = jnp.logical_or(v, rem_aux[k])
+                    else:
+                        merged[k] = jnp.concatenate([v, rem_aux[k]], axis=0)
+                aux = merged
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -106,11 +141,12 @@ def make_train_step(
         # --- VQ codebook maintenance (all on device) ---------------------
         if vq_rule is not None:
             usage = new_buffers["vq"]["usage_count"]
-            # decay=microbatches: the reference ticks its tracker once per
-            # microbatch forward (vq.py:190-196 inside each compute_losses).
+            # decay=n_forwards: the reference ticks its tracker once per
+            # microbatch forward (vq.py:190-196 inside each compute_losses),
+            # including the partial-remainder forward.
             usage = update_usage(
                 usage, aux["idxs"], vq_rule.dead_rate,
-                decay=microbatches, used=aux.get("used"),
+                decay=n_forwards, used=aux.get("used"),
             )
             # Liveness is only meaningful BEFORE revival refills dead slots
             # (with revive=True the post-revival count is always D).
