@@ -60,6 +60,14 @@ def main():
             f"vqvae unet64-class bf16 batch={bs}", "train_vqvae.py",
             base + ["--batch-size", str(bs)], args.steps,
         )
+    # Deeper metric pipeline: smooths tunnel dispatch jitter (the round-2
+    # median-vs-peak gap) without changing the device program.
+    for bs in (8, 32):
+        run_config(
+            f"vqvae unet64-class bf16 batch={bs} depth=4", "train_vqvae.py",
+            base + ["--batch-size", str(bs), "--pipeline-depth", "4"],
+            args.steps,
+        )
     # f32 reference point at the round-1 config.
     run_config(
         "vqvae unet64-class f32 batch=8", "train_vqvae.py",

@@ -11,8 +11,12 @@ exec > >(tee -a runs/tpu_queue_results.log) 2>&1
 
 echo "=== tpu_queue start: $(date -u) ==="
 
-# 1. Train throughput (VERDICT #5): batch scaling + f32 reference row.
-timeout 3000 python scripts/bench_train.py --steps 30
+# 1. Train throughput (VERDICT #5): batch scaling + pipeline depth + f32 row.
+timeout 4500 python scripts/bench_train.py --steps 30
+
+# 1b. Train-step roofline (FLOPs/bytes from XLA cost analysis).
+timeout 1200 python scripts/train_roofline.py --batch-size 8
+timeout 1200 python scripts/train_roofline.py --batch-size 32
 
 # 2. VQ Pallas kernel rent check at large codebooks (VERDICT #7).
 timeout 1800 python scripts/bench_vq.py
@@ -20,7 +24,14 @@ timeout 1800 python scripts/bench_vq.py
 # 3. XLA scoped-vmem flag sweep on the headline bench.
 timeout 3000 python scripts/bench_xla_flags.py
 
-# 4. DDIM few-step quality arm (reuses runs/qeval checkpoints).
+# 4. Donated-buffer sampling row (last unmeasured ledger idea) + matmul-GN.
+timeout 1800 python scripts/bench_sampling.py
+
+# 5. DDIM few-step quality arm (reuses runs/qeval checkpoints).
 timeout 3000 bash scripts/quality_eval_ddim.sh runs/qeval 10
+
+# 6. Rerun the quality loop at the reference's 10k-sample protocol
+#    (/root/reference/README.md:43); long — intentionally last.
+timeout 18000 bash scripts/quality_eval_10k.sh runs/qeval
 
 echo "=== tpu_queue done: $(date -u) ==="

@@ -1,0 +1,209 @@
+"""Execute every sample/eval/stat CLI ``main()`` end-to-end on CPU.
+
+test_cli.py checks parser surfaces only; these smokes actually run each
+script's ``main()`` against tiny checkpoints trained once per session on the
+tones fixture (--sample-steps 2, batch 1-4), so a regression in any CLI body
+is caught without TPU access. Mirrors the reference's script surface
+(e.g. /root/reference/sample_diffusion.py, eval_diffusion.py,
+stat_generate.py).
+"""
+
+import importlib
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _run_main(script, argv):
+    mod = importlib.import_module(script)
+    old = sys.argv
+    sys.argv = [script + ".py", *argv]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+
+
+def _train(loop_cls, out_dir, extra):
+    args = loop_cls.arg_parser().parse_args(
+        [
+            # 8: divisible by the virtual 8-device mesh the conftest forces.
+            "--batch-size", "8",
+            "--save-interval", "1",
+            "--max-steps", "1",
+            "--output-dir", str(out_dir),
+            *extra,
+            "tones",
+        ]
+    )
+    loop_cls(args).loop(max_steps=1)
+    return os.path.join(str(out_dir), "model.npz")
+
+
+@pytest.fixture(scope="session")
+def diffusion_ckpt(tmp_path_factory):
+    from vq_voice_swap_tpu.train import DiffusionTrainLoop
+
+    out = tmp_path_factory.mktemp("smoke_diff")
+    return _train(
+        DiffusionTrainLoop, out,
+        ["--predictor", "wavegrad", "--base-channels", "2", "--class-cond"],
+    )
+
+
+@pytest.fixture(scope="session")
+def vqvae_ckpt(tmp_path_factory):
+    from vq_voice_swap_tpu.train import VQVAETrainLoop
+
+    out = tmp_path_factory.mktemp("smoke_vqvae")
+    return _train(
+        VQVAETrainLoop, out,
+        [
+            "--predictor", "wavegrad", "--encoder", "wavegrad",
+            "--base-channels", "2", "--cond-mult", "4",
+            "--dictionary-size", "8", "--dead-rate", "3", "--class-cond",
+        ],
+    )
+
+
+@pytest.fixture(scope="session")
+def classifier_ckpt(tmp_path_factory):
+    from vq_voice_swap_tpu.train import ClassifierTrainLoop
+
+    out = tmp_path_factory.mktemp("smoke_clf")
+    return _train(
+        ClassifierTrainLoop, out,
+        ["--base-channels", "2"],
+    )
+
+
+@pytest.fixture(scope="session")
+def input_wav(tmp_path_factory):
+    """A 4-second 16 kHz sine wav (the voice-conversion input)."""
+    from vq_voice_swap_tpu.data import ChunkWriter
+
+    path = str(tmp_path_factory.mktemp("smoke_in") / "input.wav")
+    t = np.arange(64000, dtype=np.float32) / 16000.0
+    w = ChunkWriter(path, 16000)
+    try:
+        w.write(np.sin(2 * np.pi * 440.0 * t) * 0.3)
+    finally:
+        w.close()
+    return path
+
+
+def test_sample_diffusion_main(diffusion_ckpt, tmp_path):
+    out = str(tmp_path / "out.wav")
+    _run_main(
+        "sample_diffusion",
+        ["--checkpoint-path", diffusion_ckpt, "--sample-steps", "2",
+         "--sample-path", out],
+    )
+    assert os.path.getsize(out) > 44  # wav header + payload
+
+
+def test_sample_vqvae_main(vqvae_ckpt, input_wav, tmp_path):
+    out = str(tmp_path / "converted.wav")
+    _run_main(
+        "sample_vqvae",
+        ["--label", "1", "--sample-steps", "2", "--input-file", input_wav,
+         vqvae_ckpt, out],
+    )
+    assert os.path.getsize(out) > 44
+
+
+def test_sample_vqvae_uncond_main(vqvae_ckpt, input_wav, tmp_path):
+    out = str(tmp_path / "uncond.wav")
+    _run_main(
+        "sample_vqvae_uncond",
+        ["--label", "1", "--sample-steps", "2", "--input-file", input_wav,
+         "--guide-label-scale", "1.5", vqvae_ckpt, out],
+    )
+    assert os.path.getsize(out) > 44
+
+
+def test_eval_diffusion_main(diffusion_ckpt, capsys):
+    _run_main("eval_diffusion", ["--batch-size", "4", diffusion_ckpt, "tones"])
+    assert "samples:" in capsys.readouterr().out
+
+
+def test_eval_vqvae_main(vqvae_ckpt, capsys):
+    _run_main("eval_vqvae", ["--batch-size", "4", vqvae_ckpt, "tones"])
+    assert "samples:" in capsys.readouterr().out
+
+
+def test_stat_generate_and_compare_main(classifier_ckpt, tmp_path, capsys):
+    stats = str(tmp_path / "stats.npz")
+    _run_main(
+        "stat_generate",
+        ["--checkpoint-path", classifier_ckpt, "--data-dir", "tones",
+         "--num-samples", "8", "--batch-size", "4", stats],
+    )
+    assert os.path.exists(stats)
+    loaded = np.load(stats)
+    assert {"mean", "cov", "probs", "class_score"} <= set(loaded.keys())
+
+    _run_main("stat_compare", [stats, stats])
+    # Prints the Frechet distance; identical stats => ~0.
+    dist = float(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(dist) < 1e-3
+
+
+def test_voice_search_main(vqvae_ckpt, input_wav, capsys):
+    _run_main(
+        "voice_search_vqvae",
+        ["--num-timesteps", "2", "--batch-size", "4", "--top-k", "2",
+         "--input-file", input_wav, vqvae_ckpt],
+    )
+    assert capsys.readouterr().out.strip()
+
+
+def test_plot_and_compare_logs_main(tmp_path):
+    log = tmp_path / "train_log.txt"
+    log.write_text(
+        "".join(
+            f"step {i}: loss={1.0 / (i + 1):.4f} base_q.0=0.5\n"
+            for i in range(1, 20)
+        )
+    )
+    png1 = str(tmp_path / "plot.png")
+    _run_main("plot_log", ["--smoothing", "2", str(log), png1])
+    assert os.path.getsize(png1) > 0
+
+    png2 = str(tmp_path / "cmp.png")
+    # --fields (nargs=+) must come last or argparse would swallow the
+    # positional log files.
+    _run_main(
+        "compare_logs",
+        ["--smoothing", "2", str(log), str(log), png2,
+         "--fields", "base_q."],
+    )
+    assert os.path.getsize(png2) > 0
+
+
+def test_combine_datasets_main(tmp_path, capsys):
+    import wave
+
+    def make_ds(root, speakers):
+        for spk in speakers:
+            d = tmp_path / root / spk
+            d.mkdir(parents=True)
+            with wave.open(str(d / "a.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(b"\x00\x00" * 80000)  # 5 s: long enough to index
+
+    make_ds("ds1", ["s1", "s2"])
+    make_ds("ds2", ["s3"])
+    out = tmp_path / "merged"
+    _run_main(
+        "combine_datasets", [str(tmp_path / "ds1"), str(tmp_path / "ds2"),
+                             str(out)]
+    )
+    got = {p.name for p in out.iterdir()}
+    assert {"00_s1", "00_s2", "01_s3"} <= got

@@ -19,16 +19,6 @@ from .model_base import ModelBase, jit_init, register_model
 from .models import make_predictor
 
 
-def _serving_fuse_levels() -> int:
-    """Opt-in (VVS_FUSED_RESBLOCK=<levels>): run the first N UNet levels'
-    same-resolution ResBlocks as Pallas megakernels during inference."""
-    import os
-
-    try:
-        return int(os.environ.get("VVS_FUSED_RESBLOCK", "0"))
-    except ValueError:
-        return 0
-
 __all__ = ["DiffusionModel", "add_labels_to_params", "label_param_paths"]
 
 # Param-tree leaf names that hold per-label embedding rows.
@@ -168,24 +158,9 @@ class DiffusionModel(ModelBase):
         train: bool = False,
         rngs: Optional[Dict[str, jax.Array]] = None,
     ) -> jnp.ndarray:
-        if not train and _serving_fuse_levels() > 0:
-            from .models.unet import UNetPredictor
-            from .ops.packed_unet import packed_unet_predict
-
-            if isinstance(self.predictor, UNetPredictor):
-                # Serving path: same-resolution ResBlocks of the first
-                # levels run as Pallas megakernels (ops/fused_resblock.py);
-                # exact-output equivalent of predictor.apply.
-                return packed_unet_predict(
-                    self.predictor,
-                    variables["params"]["predictor"],
-                    x,
-                    ts,
-                    cond=cond,
-                    labels=labels,
-                    pack_levels=0,
-                    fuse_levels=_serving_fuse_levels(),
-                )
+        # The measured-slower Pallas megakernel serving path
+        # (VVS_FUSED_RESBLOCK) was retired to attic/ — see attic/README.md
+        # and the PERF.md shootout: plain XLA fusion wins end-to-end.
         return self.predictor.apply(
             {"params": variables["params"]["predictor"]},
             x,

@@ -149,7 +149,7 @@ class TrainLoop(ABC):
             max_steps = getattr(self.args, "max_steps", None)
         if getattr(self.args, "profile_dir", None):
             jax.profiler.start_trace(self.args.profile_dir)
-        self._pending = None
+        self._pending = []
         self._last_finish = None
         try:
             for i, batch in enumerate(repeat_dataset(self.data_loader)):
@@ -164,10 +164,12 @@ class TrainLoop(ABC):
                 jax.profiler.stop_trace()
 
     def step(self, batch: Dict[str, np.ndarray]):
-        """Dispatch one train step; metrics of the PREVIOUS step are fetched
-        and logged while this one runs on device (1-deep pipeline), so the
-        per-step host work (loss fetch, tracker, log line, next batch prep)
-        overlaps device compute instead of serialising with it."""
+        """Dispatch one train step; metric fetches lag dispatch by
+        --pipeline-depth steps (default 1), so the per-step host work (loss
+        fetch, tracker, log line, next batch prep) overlaps device compute
+        instead of serialising with it. Deeper pipelines smooth per-step
+        dispatch jitter (e.g. a tunnelled runtime) at the cost of metrics
+        arriving that many steps late."""
         rng = jax.random.fold_in(
             jax.random.key(self.rng_seed), self.total_steps
         )
@@ -179,30 +181,40 @@ class TrainLoop(ABC):
         self.state, metrics = self.train_step(
             self.state, device_batch, rng, self.frozen_ctx
         )
-        self._flush_pending()
-        self._pending = (self.loop_steps, metrics, dispatched)
+        depth = max(1, getattr(self.args, "pipeline_depth", 1) or 1)
+        pending = self._pending_queue()
+        pending.append((self.loop_steps, metrics, dispatched))
+        while len(pending) > depth:
+            self._flush_one()
         if (self.total_steps + 1) % self.args.save_interval == 0:
             # Keep the '# saved' sentinel ordered after this step's log line.
             self._flush_pending()
             self.save()
 
-    def _flush_pending(self):
-        """Fetch + log the metrics of the last dispatched step (blocks until
-        that step completes on device)."""
-        if getattr(self, "_pending", None) is None:
-            return
-        loop_steps, metrics, dispatched = self._pending
-        self._pending = None
+    def _pending_queue(self):
+        # getattr dance: step() is callable without going through loop()
+        # (driver/tests).
+        if not isinstance(getattr(self, "_pending", None), list):
+            self._pending = []
+        return self._pending
+
+    def _flush_one(self):
+        """Fetch + log the metrics of the OLDEST dispatched step (blocks
+        until that step completes on device)."""
+        loop_steps, metrics, dispatched = self._pending.pop(0)
         metrics = dict(metrics)
         loss = float(metrics["loss"])  # forces completion
         now = time.perf_counter()
         # Steady state: time between consecutive completions; first step
-        # falls back to dispatch->completion (includes compile). getattr:
-        # step() is callable without going through loop() (driver/tests).
+        # falls back to dispatch->completion (includes compile).
         baseline = getattr(self, "_last_finish", None) or dispatched
         self._last_finish = now
         metrics["samples_per_sec"] = self.args.batch_size / (now - baseline)
         self.log_metrics(metrics, loss=loss, step=loop_steps + 1)
+
+    def _flush_pending(self):
+        for _ in range(len(self._pending_queue())):
+            self._flush_one()
 
     def prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         """Hook to augment the host batch (e.g. curriculum scalars)."""
@@ -413,6 +425,11 @@ class TrainLoop(ABC):
                             help="compute in bfloat16 (params stay float32)")
         parser.add_argument("--profile-dir", default=None, type=str,
                             help="write a jax.profiler trace here")
+        parser.add_argument("--pipeline-depth", default=1, type=int,
+                            help="how many dispatched steps metric fetches "
+                                 "may lag behind; >1 smooths dispatch "
+                                 "jitter (metrics arrive that many steps "
+                                 "late)")
         parser.add_argument("--max-steps", default=None, type=int,
                             help="stop after this many steps (default: run "
                                  "until killed, as the reference does)")
