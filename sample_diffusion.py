@@ -23,7 +23,7 @@ from vq_voice_swap_tpu.classifier_model import ClassifierModel
 from vq_voice_swap_tpu.data import ChunkWriter
 from vq_voice_swap_tpu.diffusion import make_warp
 from vq_voice_swap_tpu.diffusion_model import DiffusionModel
-from vq_voice_swap_tpu.parallel import batch_sharding, create_mesh
+from vq_voice_swap_tpu.parallel import DATA_AXIS, batch_sharding, create_mesh
 
 SAMPLE_LEN = 64000
 SAMPLE_RATE = 16000
@@ -59,15 +59,25 @@ def main():
         return cond_fn
 
     # Batched sampling shards the batch axis over all available chips
-    # (a no-op on one chip; linear scaling on a pod slice).
-    mesh = create_mesh()
+    # (a no-op on one chip; linear scaling on a pod slice). With
+    # --tensor-parallel N the mesh is 2-D data x model and the weights
+    # shard on their output-feature axis (models too big for one chip).
+    if args.tensor_parallel > 1:
+        from vq_voice_swap_tpu.parallel import create_mesh_2d, tp_shardings
+
+        mesh = create_mesh_2d(args.tensor_parallel)
+        variables = jax.tree.map(
+            jax.device_put, variables, tp_shardings(mesh, variables)
+        )
+    else:
+        mesh = create_mesh()
     sharding = batch_sharding(mesh) if mesh.devices.size > 1 else None
 
     @partial(jax.jit, static_argnames=("batch",))
     def sample_batch(rng, labels, batch):
         noise_rng, samp_rng = jax.random.split(rng)
         x_T = jax.random.normal(noise_rng, (batch, SAMPLE_LEN, 1))
-        if sharding is not None and batch % mesh.devices.size == 0:
+        if sharding is not None and batch % mesh.shape[DATA_AXIS] == 0:
             x_T = jax.lax.with_sharding_constraint(x_T, sharding)
         pred = (
             (lambda xs, ts: model.predict_eps(variables, xs, ts, labels=labels))
@@ -171,6 +181,9 @@ def arg_parser():
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="compute in bfloat16 (params stay float32)")
+    parser.add_argument("--tensor-parallel", default=1, type=int,
+                        help="model-axis size of a 2-D data x model mesh; "
+                             "shards the weights over chips")
     return parser
 
 

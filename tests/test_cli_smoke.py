@@ -207,3 +207,14 @@ def test_combine_datasets_main(tmp_path, capsys):
     )
     got = {p.name for p in out.iterdir()}
     assert {"00_s1", "00_s2", "01_s3"} <= got
+
+
+def test_sample_diffusion_tensor_parallel(diffusion_ckpt, tmp_path):
+    """--tensor-parallel 4 on the virtual 8-device mesh (2 data x 4 model)."""
+    out = str(tmp_path / "tp.wav")
+    _run_main(
+        "sample_diffusion",
+        ["--checkpoint-path", diffusion_ckpt, "--sample-steps", "2",
+         "--tensor-parallel", "4", "--sample-path", out],
+    )
+    assert os.path.getsize(out) > 44

@@ -8,14 +8,24 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .tensor import (
+    MODEL_AXIS,
+    create_mesh_2d,
+    shard_state_tp,
+    tp_shardings,
+)
 
 __all__ = [
     "DATA_AXIS",
+    "MODEL_AXIS",
     "batch_sharding",
     "create_mesh",
+    "create_mesh_2d",
     "global_batch_from_local",
     "initialize_multihost",
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "shard_state_tp",
+    "tp_shardings",
 ]

@@ -75,12 +75,26 @@ class TrainLoop(ABC):
         initialize_multihost()
         self.is_primary = jax.process_index() == 0
 
-        self.mesh = create_mesh()
+        self.tensor_parallel = max(
+            1, getattr(args, "tensor_parallel", 1) or 1
+        )
+        if self.tensor_parallel > 1:
+            from ..parallel import create_mesh_2d
+
+            self.mesh = create_mesh_2d(self.tensor_parallel)
+        else:
+            self.mesh = create_mesh()
         # Keep the fused Pallas VQ assignment enabled under this mesh
-        # (ops/vq_pallas.py runs it per-shard inside shard_map).
+        # (ops/vq_pallas.py runs it per-shard inside shard_map). Under a
+        # 2-D data x model mesh the codebook stays replicated and the XLA
+        # assignment path is used instead.
         from ..ops.vq_pallas import set_vq_mesh
 
-        set_vq_mesh(self.mesh if self.mesh.devices.size > 1 else None)
+        set_vq_mesh(
+            self.mesh
+            if self.mesh.devices.size > 1 and self.tensor_parallel == 1
+            else None
+        )
         self.rng_seed = getattr(args, "seed", 0)
 
         self.data_loader, self.num_labels = self.create_data_loader()
@@ -113,7 +127,14 @@ class TrainLoop(ABC):
             opt_state=opt_state,
             emas=emas,
         )
-        self.state = replicate(self.mesh, self.state)
+        if self.tensor_parallel > 1:
+            from ..parallel import shard_state_tp
+
+            # Params/EMAs/optimizer moments sharded on the model axis;
+            # XLA inserts the TP collectives (parallel/tensor.py).
+            self.state = shard_state_tp(self.mesh, self.state, self.tx)
+        else:
+            self.state = replicate(self.mesh, self.state)
 
         self.logger, self.tracker = self.create_logger_tracker()
         self.total_steps = self.logger.start_step
@@ -430,6 +451,11 @@ class TrainLoop(ABC):
                                  "may lag behind; >1 smooths dispatch "
                                  "jitter (metrics arrive that many steps "
                                  "late)")
+        parser.add_argument("--tensor-parallel", default=1, type=int,
+                            help="model-axis size of a 2-D data x model "
+                                 "mesh; weights/optimizer shard on their "
+                                 "output-feature axis (device count must "
+                                 "be divisible)")
         parser.add_argument("--max-steps", default=None, type=int,
                             help="stop after this many steps (default: run "
                                  "until killed, as the reference does)")
