@@ -133,3 +133,67 @@ def test_logger_readonly_resume_missing_file(tmp_path):
     ro.log(1, loss=1.0)  # stdout only; still must not create the file
     ro.close()
     assert not (tmp_path / "absent.txt").exists()
+
+
+def test_logger_async_save_resume_truncates_to_marker(tmp_path):
+    """Async saves: '# saving @ N' at dispatch, '# saved' confirmation
+    possibly lines later. Resume must return to the newest CONFIRMED
+    marker and truncate the step lines that ran past it."""
+    from vq_voice_swap_tpu.observe import Logger
+
+    path = str(tmp_path / "log.txt")
+    with open(path, "w") as f:
+        f.write("step 1: loss=1.0\n")
+        f.write("step 2: loss=0.9\n")
+        f.write("# saving @ 2\n")      # dispatched at step 2
+        f.write("step 3: loss=0.8\n")  # ran ahead while files were written
+        f.write("step 4: loss=0.7\n")
+        f.write("# saved\n")           # confirms the step-2 checkpoint
+        f.write("step 5: loss=0.6\n")
+
+    lg = Logger(path, resume=True)
+    assert lg.start_step == 2
+    lg.close()
+    content = open(path).read()
+    assert content.endswith("# saving @ 2\n")
+    assert "step 3" not in content and "step 5" not in content
+
+
+def test_logger_async_save_unconfirmed_marker_ignored(tmp_path):
+    """A crash between dispatch and the files landing leaves an unconfirmed
+    marker; resume must fall back to the previous confirmed save."""
+    from vq_voice_swap_tpu.observe import Logger
+
+    path = str(tmp_path / "log.txt")
+    with open(path, "w") as f:
+        f.write("step 1: loss=1.0\n")
+        f.write("# saving @ 1\n")
+        f.write("step 2: loss=0.9\n")
+        f.write("# saved\n")           # confirms step 1
+        f.write("step 3: loss=0.8\n")
+        f.write("# saving @ 3\n")      # never confirmed (crash)
+        f.write("step 4: loss=0.7\n")
+
+    lg = Logger(path, resume=True)
+    assert lg.start_step == 1
+    lg.close()
+    assert open(path).read().endswith("# saving @ 1\n")
+
+
+def test_logger_mark_saving_applies_start_step_offset(tmp_path):
+    from vq_voice_swap_tpu.observe import Logger
+
+    path = str(tmp_path / "log.txt")
+    lg = Logger(path)
+    lg.log(1, loss=1.0)
+    lg.mark_saving(1)
+    lg.mark_save()
+    lg.close()
+
+    lg2 = Logger(path, resume=True)
+    assert lg2.start_step == 1
+    lg2.log(1, loss=0.5)       # absolute step 2
+    lg2.mark_saving(1)         # must tag absolute step 2
+    lg2.mark_save()
+    lg2.close()
+    assert "# saving @ 2" in open(path).read()

@@ -270,3 +270,20 @@ def test_microbatch_remainder_weighted_accumulation():
         float(acc_metrics["extra"]["l"]), float(full_metrics["loss"]),
         rtol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_diffusion_train_loop_async_save(tmp_path, monkeypatch):
+    """--async-save: checkpoints land (worker thread joined at loop end),
+    the '# saved' sentinel is written, and a new loop resumes from them."""
+    _patch_loader(monkeypatch)
+    args = _diffusion_args(tmp_path, extra=("--async-save",))
+    loop = DiffusionTrainLoop(args)
+    loop.loop(max_steps=2)
+    assert os.path.exists(os.path.join(tmp_path, "model.npz"))
+    assert os.path.exists(os.path.join(tmp_path, "opt.npz"))
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    assert "# saved" in log
+
+    loop2 = DiffusionTrainLoop(args)
+    assert loop2.resume and loop2.logger.start_step == 2

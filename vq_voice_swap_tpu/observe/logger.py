@@ -62,25 +62,41 @@ def read_log(
 def _scan_resume_point(path: str) -> Tuple[int, int]:
     """One byte-exact pass over a log file: (resume_step, keep_bytes).
 
-    ``keep_bytes`` is the offset just past the last ``# saved`` sentinel,
-    and ``resume_step`` the last step number logged at or before it. If no
-    sentinel exists, the whole file is kept (legacy logs never marked
+    Synchronous saves write ``# saved`` right after their step line:
+    ``keep_bytes`` is the offset just past the newest sentinel and
+    ``resume_step`` the last step number logged before it.
+
+    Asynchronous saves (--async-save) write a ``# saving @ N`` marker at
+    dispatch (step-ordered) and the plain ``# saved`` confirmation when the
+    files have landed — possibly lines later. Each confirmation confirms
+    the OLDEST unconfirmed marker; the resume point is the newest CONFIRMED
+    marker, truncating the step lines that ran past it (their state is
+    beyond the checkpoint) and ignoring unconfirmed markers (crash before
+    the files landed).
+
+    If no sentinel exists, the whole file is kept (legacy logs never marked
     saves) and the final step wins.
     """
     sentinel = SAVED_MSG.encode()
     step_re = re.compile(rb"^step (\d+):")
+    saving_re = re.compile(rb"^# saving @ (\d+)$")
     last_step = 0
     offset = 0
-    keep = None  # (step, byte offset) at the newest sentinel
+    keep = None  # (step, byte offset) at the newest confirmed save
+    pending = []  # dispatched-but-unconfirmed (step, offset) markers
     with open(path, "rb") as f:
         for raw in f:
             offset += len(raw)
             if raw == sentinel:
-                keep = (last_step, offset)
-            else:
-                m = step_re.match(raw)
-                if m is not None:
-                    last_step = int(m.group(1))
+                keep = pending.pop(0) if pending else (last_step, offset)
+                continue
+            m = saving_re.match(raw.rstrip(b"\n"))
+            if m is not None:
+                pending.append((int(m.group(1)), offset))
+                continue
+            m = step_re.match(raw)
+            if m is not None:
+                last_step = int(m.group(1))
     return keep if keep is not None else (last_step, offset)
 
 
@@ -121,6 +137,14 @@ class Logger:
             self.out_file.write(line + "\n")
             self.out_file.flush()
         print(line)
+
+    def mark_saving(self, step: int):
+        """Step-ordered dispatch marker for asynchronous saves; pair with a
+        later mark_save() confirmation (see _scan_resume_point)."""
+        if self.out_file is None:
+            return
+        self.out_file.write(f"# saving @ {step + self.start_step}\n")
+        self.out_file.flush()
 
     def mark_save(self):
         if self.out_file is None:

@@ -181,6 +181,7 @@ class TrainLoop(ABC):
                 self.step(batch)
         finally:
             self._flush_pending()
+            self.finish_pending_save()
             if getattr(self.args, "profile_dir", None):
                 jax.profiler.stop_trace()
 
@@ -351,23 +352,65 @@ class TrainLoop(ABC):
     # -------------------------------------------------------------- saving
 
     def save(self):
+        state = self.state
+        parts = (state.params, state.emas, state.buffers, state.opt_state)
+        if any(
+            getattr(leaf, "is_fully_addressable", True) is False
+            for leaf in jax.tree.leaves(parts)
+        ):
+            # Multi-host tensor parallelism: shards live on other hosts, so
+            # ALL hosts reassemble collectively before host 0 writes.
+            from jax.experimental import multihost_utils
+
+            parts = multihost_utils.process_allgather(parts)
         if not self.is_primary:
-            return  # params are replicated; only host 0 persists them
-        variables = {"params": self.state.params}
-        if jax.tree.leaves(self.state.buffers):
-            variables["buffers"] = self.state.buffers
+            return  # only host 0 persists
+        if getattr(self.args, "async_save", False):
+            # Snapshot on-device (cheap copy) so the NEXT train step's
+            # donation cannot invalidate the buffers mid-fetch, then fetch
+            # + write on a worker thread, overlapping device compute. The
+            # step-ordered '# saving @ N' marker goes in NOW; the worker's
+            # '# saved' confirmation may land lines later (resume truncates
+            # back to the marker — observe/logger.py).
+            parts = jax.tree.map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                parts,
+            )
+            if getattr(self, "_save_thread", None) is not None:
+                self._save_thread.join()  # one save in flight at a time
+            self.logger.mark_saving(self.loop_steps + 1)
+            import threading
+
+            self._save_thread = threading.Thread(
+                target=self._write_checkpoints, args=parts, daemon=False
+            )
+            self._save_thread.start()
+        else:
+            self._write_checkpoints(*parts)
+
+    def finish_pending_save(self):
+        if getattr(self, "_save_thread", None) is not None:
+            self._save_thread.join()
+            self._save_thread = None
+
+    def _write_checkpoints(self, params, emas, buffers, opt_state):
+        variables = {"params": params}
+        if jax.tree.leaves(buffers):
+            variables["buffers"] = buffers
         self.model.save(self.checkpoint_path(), variables)
         for rate in self.ema_rates:
-            ema_vars = {"params": self.state.emas[str(rate)]}
+            ema_vars = {"params": emas[str(rate)]}
             if "buffers" in variables:
-                ema_vars["buffers"] = self.state.buffers
+                ema_vars["buffers"] = buffers
             self.model.save(self.ema_path(rate), ema_vars)
-        self.save_opt_state()
+        self.save_opt_state(opt_state)
         self.logger.mark_save()
 
-    def save_opt_state(self):
+    def save_opt_state(self, opt_state=None):
+        if opt_state is None:
+            opt_state = self.state.opt_state
         state_dict = serialization.to_state_dict(
-            jax.tree.map(np.asarray, self.state.opt_state)
+            jax.tree.map(np.asarray, opt_state)
         )
         data = serialization.msgpack_serialize(state_dict)
         tmp = self.opt_path() + ".tmp"
@@ -456,6 +499,10 @@ class TrainLoop(ABC):
                                  "mesh; weights/optimizer shard on their "
                                  "output-feature axis (device count must "
                                  "be divisible)")
+        parser.add_argument("--async-save", action="store_true",
+                            help="write checkpoints from a worker thread "
+                                 "(device-side snapshot first), overlapping "
+                                 "save I/O with training")
         parser.add_argument("--max-steps", default=None, type=int,
                             help="stop after this many steps (default: run "
                                  "until killed, as the reference does)")
