@@ -11,6 +11,10 @@ exec > >(tee -a runs/tpu_queue_results.log) 2>&1
 
 echo "=== tpu_queue start: $(date -u) ==="
 
+# 0. Headline first: if the tunnel dies again before round end, this is
+#    the BENCH_r03 number (bench.py emits one JSON line).
+timeout 1800 python bench.py | tee runs/bench_headline.json
+
 # 1. Train throughput (VERDICT #5): batch scaling + pipeline depth + f32 row.
 timeout 4500 python scripts/bench_train.py --steps 30
 

@@ -306,3 +306,83 @@ def test_seq_parallel_vqvae_convert_matches_unsharded():
         )
     )
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.slow
+def test_seq_parallel_training_grads_match_unsharded():
+    """Differentiating through the T-sharded predictor (halo exchanges +
+    GN psums) must give the same parameter gradients and optimizer step as
+    the single-device loss — sequence-parallel TRAINING, not just
+    conversion."""
+    import optax
+
+    from vq_voice_swap_tpu.diffusion import Diffusion, make_schedule
+    from vq_voice_swap_tpu.models import UNetPredictor
+    from vq_voice_swap_tpu.parallel.sequence import (
+        make_seq_parallel_train_step,
+        seq_parallel_ddpm_losses,
+    )
+
+    pred = UNetPredictor(
+        base_channels=4, channel_mult=(1, 2), middle_dilations=(2,),
+        depth_mult=1, num_labels=3,
+    )
+    diffusion = Diffusion(make_schedule("exp"))
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 256, 1) * 0.3, dtype=jnp.float32)
+    ts_init = jnp.asarray([0.2, 0.7], dtype=jnp.float32)
+    labels = jnp.asarray([1, 2])
+    variables = jax.jit(
+        lambda r: pred.init(r, x, ts_init, labels=labels)
+    )(jax.random.key(3))
+    params = variables["params"]
+    key = jax.random.key(42)
+
+    # Single-device reference gradients.
+    def ref_loss(p):
+        losses = diffusion.ddpm_losses(
+            x, lambda xs, tt: pred.apply({"params": p}, xs, tt,
+                                         labels=labels),
+            rng=key,
+        )
+        return jnp.mean(losses)
+
+    ref_l, ref_grads = jax.jit(jax.value_and_grad(ref_loss))(params)
+
+    mesh = create_seq_mesh()
+    xs = _sharded(mesh, x)
+
+    def seq_loss(p):
+        return jnp.mean(
+            seq_parallel_ddpm_losses(
+                mesh, diffusion, pred, p, key, xs, labels=labels
+            )
+        )
+
+    seq_l, seq_grads = jax.jit(jax.value_and_grad(seq_loss))(params)
+
+    np.testing.assert_allclose(float(seq_l), float(ref_l), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(seq_grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
+
+    # One full optimizer step through the jitted train-step wrapper. SGD,
+    # not Adam: Adam's first-step update is lr*g/|g| — it amplifies
+    # noise-level gradients (unused-path leaves, g ~ 1e-8) to +-lr with
+    # reduction-order-dependent SIGN, which no tolerance survives.
+    tx = optax.sgd(1e-2)
+    step = make_seq_parallel_train_step(mesh, diffusion, pred, tx)
+    new_params, _, loss, losses = step(
+        jax.tree.map(jnp.copy, params), tx.init(params), key, xs,
+        labels,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    assert losses.shape == (2,)
+    ref_updates, _ = tx.update(ref_grads, tx.init(params), params)
+    ref_params = optax.apply_updates(params, ref_updates)
+    for a, b in zip(jax.tree.leaves(new_params),
+                    jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )

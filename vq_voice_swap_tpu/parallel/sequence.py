@@ -38,6 +38,8 @@ __all__ = [
     "seq_parallel_unet_encoder",
     "seq_parallel_unet_predictor",
     "seq_parallel_ddpm_sample",
+    "seq_parallel_ddpm_losses",
+    "make_seq_parallel_train_step",
 ]
 
 SEQ_AXIS = "seq"
@@ -481,3 +483,48 @@ def seq_parallel_vqvae_convert(
         labels=labels,
         **kwargs,
     )
+
+
+def seq_parallel_ddpm_losses(
+    mesh, diffusion, predictor, params, rng, x, labels=None, cond=None
+):
+    """Per-element diffusion eps-MSE with the T-sharded UNet predictor.
+
+    x: [N, T, C] sharded P(None, SEQ_AXIS, None). The q-sampling noise is
+    elementwise (partitions trivially; jax_threefry_partitionable keeps the
+    draw layout-invariant), so only the predictor communicates. This is the
+    TRAINING counterpart of seq_parallel_ddpm_sample — clips longer than
+    one chip's HBM can be trained on by sharding time, not just converted.
+    """
+    pred_fn = lambda xs, ts: seq_parallel_unet_predictor(  # noqa: E731
+        mesh, predictor, params, xs, ts, cond=cond, labels=labels
+    )
+    return diffusion.ddpm_losses(x, pred_fn, rng=rng)
+
+
+def make_seq_parallel_train_step(mesh, diffusion, predictor, tx):
+    """A jitted (params, opt_state, rng, x, labels) -> (params, opt_state,
+    loss, losses) step that differentiates through the sequence-parallel
+    predictor (halo exchanges and GroupNorm psums transpose to halo
+    exchanges and psums — jax AD through shard_map/ppermute).
+
+    Numerical equivalence with the single-device train step is tested in
+    tests/test_sequence_parallel.py.
+    """
+    import optax
+
+    def step(params, opt_state, rng, x, labels=None):
+        def loss_fn(p):
+            losses = seq_parallel_ddpm_losses(
+                mesh, diffusion, predictor, p, rng, x, labels=labels
+            )
+            return jnp.mean(losses), losses
+
+        (loss, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, losses
+
+    return jax.jit(step, donate_argnums=(0, 1))
