@@ -24,6 +24,15 @@ def main():
     print("loading model from checkpoint...")
     model, variables = VQVAE.load(args.checkpoint_path)
     assert args.label + 1 < model.num_labels, "label out of range"
+    if args.tensor_parallel > 1:
+        # Serve a model too big for one chip: 2-D data x model mesh, weights
+        # sharded on their output-feature axis (parallel/tensor.py).
+        from vq_voice_swap_tpu.parallel import create_mesh_2d, tp_shardings
+
+        mesh = create_mesh_2d(args.tensor_parallel)
+        variables = jax.tree.map(
+            jax.device_put, variables, tp_shardings(mesh, variables)
+        )
 
     print(f"loading waveform from {args.input_file}...")
     with ChunkReader(
@@ -90,6 +99,9 @@ def arg_parser():
     parser.add_argument("--no-vq", action="store_true")
     parser.add_argument("--check-vq", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tensor-parallel", default=1, type=int,
+                        help="model-axis size of a 2-D data x model mesh; "
+                             "shards the weights over chips")
     parser.add_argument("checkpoint_path", type=str)
     parser.add_argument("output_file", type=str)
     return parser

@@ -12,15 +12,16 @@ SCRIPTS_WITH_PARSERS = {
         "--checkpoint-path", "--sample-steps", "--batch-size", "--constrain",
         "--sample-path", "--num-samples", "--classifier-path",
         "--classifier-scale", "--target-class", "--schedule", "--encoding",
+        "--tensor-parallel",
     ],
     "sample_vqvae": [
         "--sample-rate", "--sample-steps", "--seconds", "--label",
         "--input-file", "--encoding", "--enc-pred-path", "--enc-pred-scale",
-        "--no-vq", "--check-vq",
+        "--no-vq", "--check-vq", "--tensor-parallel",
     ],
     "sample_vqvae_uncond": [
         "--schedule", "--guide-label-scale", "--guide-vq-scale", "--no-vq",
-        "--check-vq",
+        "--check-vq", "--tensor-parallel",
     ],
     "eval_diffusion": ["--batch-size"],
     "eval_vqvae": ["--batch-size"],
@@ -55,6 +56,7 @@ COMMON_TRAIN_FLAGS = [
     "--lr", "--ema-rate", "--weight-decay", "--batch-size", "--microbatch",
     "--output-dir", "--pretrained-path", "--save-interval",
     "--grad-checkpoint", "--encoding", "--max-steps", "--profile-dir",
+    "--pipeline-depth", "--tensor-parallel", "--async-save",
 ]
 
 
