@@ -155,7 +155,10 @@ def test_logger_async_save_resume_truncates_to_marker(tmp_path):
     assert lg.start_step == 2
     lg.close()
     content = open(path).read()
-    assert content.endswith("# saving @ 2\n")
+    # Truncated to BEFORE the marker: a kept marker would be an unconfirmed
+    # leftover that a later run's '# saved' would mis-pair with.
+    assert content.endswith("step 2: loss=0.9\n")
+    assert "saving" not in content
     assert "step 3" not in content and "step 5" not in content
 
 
@@ -177,7 +180,7 @@ def test_logger_async_save_unconfirmed_marker_ignored(tmp_path):
     lg = Logger(path, resume=True)
     assert lg.start_step == 1
     lg.close()
-    assert open(path).read().endswith("# saving @ 1\n")
+    assert open(path).read().endswith("step 1: loss=1.0\n")
 
 
 def test_logger_mark_saving_applies_start_step_offset(tmp_path):
@@ -197,3 +200,30 @@ def test_logger_mark_saving_applies_start_step_offset(tmp_path):
     lg2.mark_save()
     lg2.close()
     assert "# saving @ 2" in open(path).read()
+
+
+def test_logger_async_save_resume_then_sync_run(tmp_path):
+    """Regression: a resumed-then-continued log must not leave a stale
+    unconfirmed marker behind that a LATER run's sync '# saved' would
+    mis-pair with."""
+    from vq_voice_swap_tpu.observe import Logger
+
+    path = str(tmp_path / "log.txt")
+    with open(path, "w") as f:
+        f.write("step 1: loss=1.0\n")
+        f.write("step 2: loss=0.9\n")
+        f.write("# saving @ 2\n")
+        f.write("step 3: loss=0.8\n")
+        f.write("# saved\n")
+
+    # Run B resumes (truncates) and continues with SYNC saves.
+    lg = Logger(path, resume=True)
+    assert lg.start_step == 2
+    lg.log(1, loss=0.7)   # absolute step 3
+    lg.log(2, loss=0.6)   # absolute step 4
+    lg.mark_save()        # sync save at step 4
+    lg.close()
+
+    lg2 = Logger(path, resume=True)
+    assert lg2.start_step == 4  # NOT 2: no stale marker mis-pairing
+    lg2.close()

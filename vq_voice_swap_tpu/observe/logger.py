@@ -86,13 +86,17 @@ def _scan_resume_point(path: str) -> Tuple[int, int]:
     pending = []  # dispatched-but-unconfirmed (step, offset) markers
     with open(path, "rb") as f:
         for raw in f:
+            start = offset
             offset += len(raw)
             if raw == sentinel:
                 keep = pending.pop(0) if pending else (last_step, offset)
                 continue
             m = saving_re.match(raw.rstrip(b"\n"))
             if m is not None:
-                pending.append((int(m.group(1)), offset))
+                # keep_bytes points BEFORE the marker: keeping a truncated
+                # log's trailing marker would leave an unconfirmed marker
+                # that a later run's '# saved' would mis-pair with.
+                pending.append((int(m.group(1)), start))
                 continue
             m = step_re.match(raw)
             if m is not None:
