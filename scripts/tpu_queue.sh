@@ -31,6 +31,13 @@ timeout 3000 python scripts/bench_xla_flags.py
 # 4. Donated-buffer sampling row (last unmeasured ledger idea) + matmul-GN.
 timeout 1800 python scripts/bench_sampling.py
 
+# 4b. Profiled short train run: the trace feeds the round-4 training
+#     optimization pass (kernel-level breakdown of the 0.19 s step).
+timeout 1800 python train_vqvae.py tones --predictor unet --base-channels 64 \
+  --encoder unet128 --class-cond --bf16 --batch-size 8 --max-steps 12 \
+  --save-interval 1000 --profile-dir runs/profile_train \
+  --output-dir /tmp/profile_train_ckpt
+
 # 5. DDIM few-step quality arm (reuses runs/qeval checkpoints).
 timeout 3000 bash scripts/quality_eval_ddim.sh runs/qeval 10
 
