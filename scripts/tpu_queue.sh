@@ -31,6 +31,9 @@ timeout 3000 python scripts/bench_xla_flags.py
 # 4. Donated-buffer sampling row (last unmeasured ledger idea) + matmul-GN.
 timeout 1800 python scripts/bench_sampling.py
 
+# 4a. VQ-VAE voice-swap real-time factor (the second north-star metric).
+timeout 1800 python scripts/bench_swap_rtf.py
+
 # 4b. Profiled short train run: the trace feeds the round-4 training
 #     optimization pass (kernel-level breakdown of the 0.19 s step).
 timeout 1800 python train_vqvae.py tones --predictor unet --base-channels 64 \
