@@ -91,3 +91,28 @@ if proc_id == 0:
 
 multihost_utils.sync_global_devices("done")
 print(f"worker {proc_id}: ok", flush=True)
+
+# --- TP-across-hosts checkpoint-gather mechanism (save()'s allgather
+# branch): with tensor_parallel=4 over 2 hosts x 2 devices the model axis
+# spans both hosts, so a model-sharded leaf is NOT fully addressable and
+# host 0 must reassemble it collectively before writing — exactly what
+# TrainLoop.save does.
+from vq_voice_swap_tpu.parallel import create_mesh_2d, tp_shardings  # noqa: E402
+
+mesh_tp = create_mesh_2d(2 * num_procs)
+leaf = jnp.arange(16, dtype=jnp.float32).reshape(2, 8)
+shardings = tp_shardings(mesh_tp, {"w": leaf})
+sharded = jax.device_put(leaf, shardings["w"])
+assert not sharded.is_fully_addressable, (
+    "expected a cross-host model-sharded leaf"
+)
+gathered = multihost_utils.process_allgather(sharded, tiled=True)
+np.testing.assert_array_equal(np.asarray(gathered), np.asarray(leaf))
+
+if proc_id == 0:
+    # Append to the result file the parent checks.
+    with open(out_path + ".tp", "w") as f:
+        f.write("tp-gather-ok\n")
+
+multihost_utils.sync_global_devices("tp-done")
+print(f"worker {proc_id}: tp ok", flush=True)

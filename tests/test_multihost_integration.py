@@ -91,3 +91,12 @@ def test_two_process_cluster_train_step(tmp_path):
     np.testing.assert_allclose(float(got["loss"]), loss, rtol=1e-5)
     np.testing.assert_allclose(got["w"], w - 0.1 * grad, rtol=1e-4,
                                atol=1e-6)
+
+    # TP-across-hosts gather (the save() allgather branch): the worker
+    # asserts non-addressability and round-trips the leaf collectively.
+    assert os.path.exists(out + ".tp"), "tp gather section did not run"
+    assert _worker_logs_contain(logs, "tp ok")
+
+
+def _worker_logs_contain(logs, needle):
+    return all(needle in log for log in logs)

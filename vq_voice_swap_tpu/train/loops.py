@@ -362,7 +362,10 @@ class TrainLoop(ABC):
             # ALL hosts reassemble collectively before host 0 writes.
             from jax.experimental import multihost_utils
 
-            parts = multihost_utils.process_allgather(parts)
+            # tiled=True: reassemble each sharded global array (required —
+            # and the only supported mode — for non-fully-addressable
+            # inputs).
+            parts = multihost_utils.process_allgather(parts, tiled=True)
         if not self.is_primary:
             return  # only host 0 persists
         if getattr(self.args, "async_save", False):
