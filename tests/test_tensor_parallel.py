@@ -191,3 +191,50 @@ def test_train_loop_tensor_parallel_e2e(tmp_path, monkeypatch):
     loop2.loop(max_steps=1)
     log = open(os.path.join(tmp_path, "train_log.txt")).read()
     assert "step 3:" in log
+
+
+@pytest.mark.slow
+def test_tp_train_step_with_microbatch_remainder():
+    """Weighted microbatch remainders under a 2-D data x model mesh: the
+    remainder slice crosses shard boundaries and the partitioner must
+    reshard, not fail — and the result still equals the full-batch step."""
+    rng = np.random.RandomState(5)
+    batch = {
+        "x": jnp.asarray(rng.randn(6, 4), jnp.float32),
+        "y": jnp.asarray(rng.randn(6, 8), jnp.float32),
+    }
+    params = {"w": jnp.asarray(rng.randn(4, 8), jnp.float32)}
+
+    def loss_fn(params, buffers, rng, batch, ctx):
+        per_ex = jnp.sum((batch["x"] @ params["w"] - batch["y"]) ** 2, -1)
+        return jnp.mean(per_ex), {"mses": per_ex,
+                                  "ts": jnp.zeros_like(per_ex)}
+
+    tx = optax.sgd(1.0)
+
+    def make_state():
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=jax.tree.map(jnp.copy, params), buffers={},
+            opt_state=tx.init(params), emas={},
+        )
+
+    full_step = make_train_step(loss_fn, tx, ema_rate_trees={}, donate=False)
+    ref_state, _ = full_step(
+        make_state(), batch, jax.random.key(0), None
+    )
+
+    mesh = create_mesh_2d(4)  # 2 data x 4 model
+    tp_state = shard_state_tp(mesh, make_state(), tx)
+    rem_step = make_train_step(
+        loss_fn, tx, ema_rate_trees={},
+        microbatches=1, micro_remainder=2, donate=False,
+    )
+    tp_result, metrics = rem_step(
+        tp_state, shard_batch(mesh, batch), jax.random.key(0), None
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_result.params["w"]),
+        np.asarray(ref_state.params["w"]), rtol=1e-5, atol=1e-6,
+    )
+    assert metrics["mses"].shape == (6,)
