@@ -37,11 +37,21 @@ REPEATS = 2
 
 
 def backend_reachable(timeout_s: float = 150.0) -> bool:
-    """Probe backend init in a subprocess so a dead tunnel cannot hang us."""
+    """Probe backend init in a subprocess so a dead tunnel cannot hang us.
+
+    The probe also requires the TPU platform: a tunnel failure mode where
+    jax silently falls back to CPU must not let the 'per-chip' headline run
+    on host CPU. A deliberate CPU run (JAX_PLATFORMS=cpu in the
+    environment) skips the platform requirement.
+    """
+    want_tpu = os.environ.get("JAX_PLATFORMS", "").lower() != "cpu"
+    check = (
+        "import jax; d = jax.devices(); assert d, 'no devices'; "
+        + ("assert d[0].platform == 'tpu', d[0].platform" if want_tpu else "")
+    )
     try:
         res = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; assert len(jax.devices()) >= 1"],
+            [sys.executable, "-c", check],
             timeout=timeout_s,
             capture_output=True,
         )

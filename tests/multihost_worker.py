@@ -116,3 +116,17 @@ if proc_id == 0:
 
 multihost_utils.sync_global_devices("tp-done")
 print(f"worker {proc_id}: tp ok", flush=True)
+
+# --- Startup state sync (TrainLoop._sync_state_from_primary): hosts that
+# missed the checkpoint files build DIFFERENT fresh state; host 0's must
+# win on every host.
+divergent = {
+    "w": np.full((2, 2), float(proc_id), np.float32),  # differs per host
+    "step": np.int64(1000 if proc_id == 0 else 0),
+}
+synced = multihost_utils.broadcast_one_to_all(divergent)
+np.testing.assert_array_equal(
+    np.asarray(synced["w"]), np.zeros((2, 2), np.float32)
+)
+assert int(synced["step"]) == 1000, synced["step"]
+print(f"worker {proc_id}: sync ok", flush=True)

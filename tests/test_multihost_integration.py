@@ -97,6 +97,9 @@ def test_two_process_cluster_train_step(tmp_path):
     assert os.path.exists(out + ".tp"), "tp gather section did not run"
     assert _worker_logs_contain(logs, "tp ok")
 
+    # Startup state sync: host 0's divergent state won on every host.
+    assert _worker_logs_contain(logs, "sync ok")
+
 
 def _worker_logs_contain(logs, needle):
     return all(needle in log for log in logs)

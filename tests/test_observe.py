@@ -155,9 +155,11 @@ def test_logger_async_save_resume_truncates_to_marker(tmp_path):
     assert lg.start_step == 2
     lg.close()
     content = open(path).read()
-    # Truncated to BEFORE the marker: a kept marker would be an unconfirmed
-    # leftover that a later run's '# saved' would mis-pair with.
-    assert content.endswith("step 2: loss=0.9\n")
+    # Truncated to BEFORE the marker and re-sealed with a plain sentinel:
+    # a kept marker would be an unconfirmed leftover a later run's
+    # '# saved' would mis-pair with, while an UNSEALED tail would let a
+    # second resume rewind to an older confirmed pair.
+    assert content.endswith("step 2: loss=0.9\n# saved\n")
     assert "saving" not in content
     assert "step 3" not in content and "step 5" not in content
 
@@ -180,7 +182,7 @@ def test_logger_async_save_unconfirmed_marker_ignored(tmp_path):
     lg = Logger(path, resume=True)
     assert lg.start_step == 1
     lg.close()
-    assert open(path).read().endswith("step 1: loss=1.0\n")
+    assert open(path).read().endswith("step 1: loss=1.0\n# saved\n")
 
 
 def test_logger_mark_saving_applies_start_step_offset(tmp_path):
@@ -227,3 +229,57 @@ def test_logger_async_save_resume_then_sync_run(tmp_path):
     lg2 = Logger(path, resume=True)
     assert lg2.start_step == 4  # NOT 2: no stale marker mis-pairing
     lg2.close()
+
+
+def test_logger_double_resume_after_marker_truncation(tmp_path):
+    """Regression (round-3 review finding): resuming TWICE from an
+    async-save log — with no new save in between — must keep landing on
+    the newest confirmed step, not rewind to an older marker/sentinel
+    pair whose evidence survived the first truncation."""
+    from vq_voice_swap_tpu.observe import Logger
+
+    path = str(tmp_path / "log.txt")
+    with open(path, "w") as f:
+        f.write("step 1: loss=1.0\n")
+        f.write("# saving @ 1\n")
+        f.write("step 2: loss=0.9\n")
+        f.write("# saved\n")           # confirms step 1
+        f.write("step 3: loss=0.8\n")
+        f.write("# saving @ 3\n")
+        f.write("step 4: loss=0.7\n")
+        f.write("# saved\n")           # confirms step 3
+        f.write("step 5: loss=0.6\n")
+
+    lg = Logger(path, resume=True)
+    assert lg.start_step == 3
+    lg.close()  # killed before its next save
+
+    lg2 = Logger(path, resume=True)
+    assert lg2.start_step == 3  # NOT 1
+    lg2.close()
+
+
+def test_logger_threaded_writes_do_not_interleave(tmp_path):
+    """mark_save() runs on the async-save worker thread while the main
+    thread logs; lines must never interleave."""
+    import threading
+
+    from vq_voice_swap_tpu.observe import Logger, read_log
+
+    path = str(tmp_path / "log.txt")
+    lg = Logger(path)
+    stop = threading.Event()
+
+    def confirm_loop():
+        while not stop.is_set():
+            lg.mark_save()
+
+    t = threading.Thread(target=confirm_loop, daemon=True)
+    t.start()
+    for i in range(200):
+        lg.log(i + 1, loss=1.0 / (i + 1))
+    stop.set()
+    t.join()
+    lg.close()
+    entries = list(read_log(path))  # raises on any malformed line
+    assert [e[0] for e in entries] == list(range(1, 201))

@@ -59,20 +59,26 @@ def read_log(
             raise ValueError(f"unexpected log format at line {line_no}")
 
 
-def _scan_resume_point(path: str) -> Tuple[int, int]:
-    """One byte-exact pass over a log file: (resume_step, keep_bytes).
+def _scan_resume_point(path: str) -> Tuple[int, int, bool]:
+    """One byte-exact pass over a log file:
+    (resume_step, keep_bytes, from_marker).
 
     Synchronous saves write ``# saved`` right after their step line:
     ``keep_bytes`` is the offset just past the newest sentinel and
-    ``resume_step`` the last step number logged before it.
+    ``resume_step`` the last step number logged before it
+    (``from_marker`` False).
 
     Asynchronous saves (--async-save) write a ``# saving @ N`` marker at
     dispatch (step-ordered) and the plain ``# saved`` confirmation when the
     files have landed — possibly lines later. Each confirmation confirms
     the OLDEST unconfirmed marker; the resume point is the newest CONFIRMED
-    marker, truncating the step lines that ran past it (their state is
-    beyond the checkpoint) and ignoring unconfirmed markers (crash before
-    the files landed).
+    marker (``from_marker`` True), truncating the step lines that ran past
+    it (their state is beyond the checkpoint) and ignoring unconfirmed
+    markers (crash before the files landed). The caller must append a
+    plain ``# saved`` after truncating to a marker, so the kept region
+    still ends in a confirmed record — otherwise a SECOND resume before
+    the run's next save would pair an older marker with an older sentinel
+    and rewind start_step behind the checkpoint on disk.
 
     If no sentinel exists, the whole file is kept (legacy logs never marked
     saves) and the final step wins.
@@ -82,26 +88,30 @@ def _scan_resume_point(path: str) -> Tuple[int, int]:
     saving_re = re.compile(rb"^# saving @ (\d+)$")
     last_step = 0
     offset = 0
-    keep = None  # (step, byte offset) at the newest confirmed save
+    keep = None  # (step, byte offset, from_marker) at the newest save
     pending = []  # dispatched-but-unconfirmed (step, offset) markers
     with open(path, "rb") as f:
         for raw in f:
             start = offset
             offset += len(raw)
             if raw == sentinel:
-                keep = pending.pop(0) if pending else (last_step, offset)
+                # keep_bytes for a marker points BEFORE the marker line:
+                # keeping a truncated log's trailing marker would leave an
+                # unconfirmed marker that a later run's '# saved' would
+                # mis-pair with.
+                keep = (
+                    pending.pop(0) + (True,) if pending
+                    else (last_step, offset, False)
+                )
                 continue
             m = saving_re.match(raw.rstrip(b"\n"))
             if m is not None:
-                # keep_bytes points BEFORE the marker: keeping a truncated
-                # log's trailing marker would leave an unconfirmed marker
-                # that a later run's '# saved' would mis-pair with.
                 pending.append((int(m.group(1)), start))
                 continue
             m = step_re.match(raw)
             if m is not None:
                 last_step = int(m.group(1))
-    return keep if keep is not None else (last_step, offset)
+    return keep if keep is not None else (last_step, offset, False)
 
 
 class Logger:
@@ -112,12 +122,19 @@ class Logger:
         """``write=False`` (non-primary hosts of a multi-host run) still
         scans the resume point — start_step must agree across hosts so the
         per-step rng folds match — but never touches the file."""
+        import threading
+
         self.start_step = 0
+        # Async saves confirm from a worker thread while the main thread
+        # writes step lines; TextIOWrapper is not thread-safe, so all
+        # writes share one lock (an interleaved line would break both
+        # read_log and the resume scan).
+        self._lock = threading.Lock()
         if not write:
             self.out_file = None
             if resume:
                 try:
-                    self.start_step, _ = _scan_resume_point(out_filename)
+                    self.start_step, _, _ = _scan_resume_point(out_filename)
                 except FileNotFoundError:
                     # No shared filesystem: host 0 owns the log. Leave 0
                     # here — TrainLoop.create_logger_tracker broadcasts
@@ -128,18 +145,26 @@ class Logger:
         if not resume:
             self.out_file = open(out_filename, "w+")
             return
-        step, keep_bytes = _scan_resume_point(out_filename)
+        step, keep_bytes, from_marker = _scan_resume_point(out_filename)
         self.start_step = step
         self.out_file = open(out_filename, "r+")
         self.out_file.seek(keep_bytes)
         self.out_file.truncate()
+        if from_marker:
+            # The truncation dropped the marker + its confirmation; re-seal
+            # the kept region with a plain sentinel so a second resume
+            # (before this run's next save) still lands on THIS step
+            # instead of pairing an older marker with an older sentinel.
+            self.out_file.write(SAVED_MSG)
+            self.out_file.flush()
 
     def log(self, step: int, **kwargs):
         fields = " ".join(f"{k}={v:.05f}" for k, v in kwargs.items())
         line = f"step {step + self.start_step}: {fields}"
         if self.out_file is not None:
-            self.out_file.write(line + "\n")
-            self.out_file.flush()
+            with self._lock:
+                self.out_file.write(line + "\n")
+                self.out_file.flush()
         print(line)
 
     def mark_saving(self, step: int):
@@ -147,15 +172,18 @@ class Logger:
         later mark_save() confirmation (see _scan_resume_point)."""
         if self.out_file is None:
             return
-        self.out_file.write(f"# saving @ {step + self.start_step}\n")
-        self.out_file.flush()
+        with self._lock:
+            self.out_file.write(f"# saving @ {step + self.start_step}\n")
+            self.out_file.flush()
 
     def mark_save(self):
         if self.out_file is None:
             return
-        self.out_file.write(SAVED_MSG)
-        self.out_file.flush()
+        with self._lock:
+            self.out_file.write(SAVED_MSG)
+            self.out_file.flush()
 
     def close(self):
         if self.out_file is not None:
-            self.out_file.close()
+            with self._lock:
+                self.out_file.close()

@@ -127,6 +127,7 @@ class TrainLoop(ABC):
             opt_state=opt_state,
             emas=emas,
         )
+        self._sync_state_from_primary()
         if self.tensor_parallel > 1:
             from ..parallel import shard_state_tp
 
@@ -280,6 +281,24 @@ class TrainLoop(ABC):
             num_shards=jax.process_count(),
         )
 
+    def _sync_state_from_primary(self):
+        """Make host 0's freshly-built state authoritative on every host.
+
+        On a pod WITHOUT a shared filesystem, non-primary hosts miss the
+        checkpoint files: create_model/create_emas/create_opt_state would
+        quietly initialize fresh weights there while host 0 resumed, and
+        replicate() would then assemble a nominally replicated global
+        array from DIFFERENT per-host values — silent training
+        corruption. One collective broadcast at startup removes the whole
+        failure mode (shared-filesystem pods broadcast identical data,
+        which is merely redundant).
+        """
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        self.state = multihost_utils.broadcast_one_to_all(self.state)
+
     def create_model(self) -> Tuple[ModelBase, Dict[str, Any], bool]:
         if os.path.exists(self.checkpoint_path()):
             print("loading from checkpoint...")
@@ -355,7 +374,14 @@ class TrainLoop(ABC):
         state = self.state
         parts = (state.params, state.emas, state.buffers, state.opt_state)
         if any(
-            getattr(leaf, "is_fully_addressable", True) is False
+            not (
+                getattr(leaf, "is_fully_addressable", True)
+                # Plain multi-host DP: replicated arrays are locally
+                # complete (np.asarray reads the local copy) — only
+                # genuinely cross-host-SHARDED leaves (multi-host TP) need
+                # the collective.
+                or getattr(leaf, "is_fully_replicated", False)
+            )
             for leaf in jax.tree.leaves(parts)
         ):
             # Multi-host tensor parallelism: shards live on other hosts, so
