@@ -123,7 +123,9 @@ static PyObject *gather_windows(PyObject *self, PyObject *args) {
     int64_t s = start_v[r];
     int64_t n = avail_v[r];
     if (n > window) n = window;
-    if (s < 0 || n < 0 || s + n > arena_len) {
+    /* Overflow-safe: `s + n > arena_len` could wrap for huge (corrupt)
+     * int64 inputs and pass the check. */
+    if (s < 0 || n < 0 || s > arena_len || n > arena_len - s) {
       PyBuffer_Release(&arena);
       PyBuffer_Release(&starts);
       PyBuffer_Release(&avail);
