@@ -230,3 +230,41 @@ def test_vqvae_decode_and_cfg_smoke():
     )(variables, codes, jax.random.key(2))
     assert out2.shape == (1, SEQ_LEN, 1)
     assert np.all(np.isfinite(np.asarray(out2)))
+
+
+@pytest.mark.slow
+def test_classifier_train_loop_microbatch_scalar_batch_entry(
+    tmp_path, monkeypatch
+):
+    """Regression (round-3 review): --microbatch with the curriculum loop
+    crashed at trace time because the rank-0 ts_power batch entry was
+    sliced like a batched array; scalars must replicate across
+    microbatches."""
+    _patch_loader(monkeypatch)
+
+    class TinyClassifierLoop(ClassifierTrainLoop):
+        def create_new_model(self):
+            model = ClassifierModel(
+                num_labels=self.num_labels,
+                base_channels=4,
+                channel_mult=(1, 2),
+                output_mult=2,
+                depth_mult=1,
+            )
+            return model, model.init_variables(jax.random.key(0))
+
+    args = ClassifierTrainLoop.arg_parser().parse_args(
+        [
+            "--batch-size", "8",
+            "--microbatch", "3",  # 8 = 2x3 + remainder 2, scalar ts_power
+            "--save-interval", "100",
+            "--curriculum-start", "10.0",
+            "--curriculum-steps", "4",
+            "--output-dir", str(tmp_path),
+            "tones",
+        ]
+    )
+    loop = TinyClassifierLoop(args)
+    loop.loop(max_steps=1)
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    assert "step 1:" in log

@@ -307,9 +307,23 @@ def convert_torch_checkpoint(
 
     Returns (class_name, kwargs). Requires torch (CPU) to deserialise.
     """
-    import torch
-
     from ..checkpoint import save_checkpoint
+
+    registry_name, our_kwargs, variables = load_torch_checkpoint(torch_path)
+    save_checkpoint(out_path, registry_name, our_kwargs, variables)
+    return registry_name, our_kwargs
+
+
+def load_torch_checkpoint(torch_path):
+    """Load + convert a reference ``.pt`` checkpoint in memory.
+
+    Returns (registry_name, our_kwargs, variables). The ONLY place the
+    class-from-parameter-names inference and the Classifier ->
+    ClassifierModel registry rename live — model_base's transparent .pt
+    loading shares it, so the two paths can never classify the same
+    checkpoint differently.
+    """
+    import torch
 
     state = torch.load(torch_path, map_location="cpu", weights_only=False)
     kwargs = state["kwargs"]
@@ -333,5 +347,4 @@ def convert_torch_checkpoint(
         "Classifier": "ClassifierModel",
         "EncoderPredictor": "EncoderPredictorModel",
     }.get(class_name, class_name)
-    save_checkpoint(out_path, registry_name, our_kwargs, variables)
-    return registry_name, our_kwargs
+    return registry_name, our_kwargs, variables

@@ -34,45 +34,70 @@ class WindowCache:
         self.index_path = os.path.join(cache_dir, "arena_index.json")
         self.index: Dict[str, Tuple[int, int]] = {}
         self._mmap: Optional[np.memmap] = None
-        if os.path.exists(self.index_path):
-            with open(self.index_path, "rt") as f:
-                meta = json.load(f)
-            assert meta["sample_rate"] == sample_rate, (
-                "cache was built at a different sample rate"
-            )
-            self.index = {k: tuple(v) for k, v in meta["files"].items()}
+        self._load_index()
+
+    def _load_index(self) -> None:
+        if not os.path.exists(self.index_path):
+            return
+        with open(self.index_path, "rt") as f:
+            meta = json.load(f)
+        assert meta["sample_rate"] == self.sample_rate, (
+            "cache was built at a different sample rate"
+        )
+        self.index = {k: tuple(v) for k, v in meta["files"].items()}
 
     # ------------------------------------------------------------- building
 
     def build(self, paths) -> None:
-        """Decode any not-yet-cached files and append them to the arena."""
+        """Decode any not-yet-cached files and append them to the arena.
+
+        Safe under concurrent builders (multi-host pods with a shared
+        filesystem, several loader processes on one host): an exclusive
+        flock serialises appends — interleaved `ab` writes from two
+        processes would otherwise scatter both writers' samples through
+        each other's index spans, silently corrupting every later read.
+        """
         missing = [p for p in paths if p not in self.index]
         if not missing:
             return
-        offset = 0
-        if os.path.exists(self.arena_path):
-            offset = os.path.getsize(self.arena_path) // 4
-        # Checkpoint the index periodically: an interrupted multi-hour build
-        # must lose at most _INDEX_EVERY files of work, not re-decode (and
-        # re-append a duplicate copy of) everything on the next run.
-        with open(self.arena_path, "ab") as arena:
-            for done, path in enumerate(missing, 1):
-                length = 0
-                with ChunkReader(path, self.sample_rate) as reader:
-                    while True:
-                        chunk = reader.read(_CHUNK)
-                        if chunk is None or len(chunk) == 0:
-                            break
-                        arena.write(
-                            np.asarray(chunk, dtype="<f4").tobytes()
-                        )
-                        length += len(chunk)
-                self.index[path] = (offset, length)
-                offset += length
-                if done % _INDEX_EVERY == 0:
-                    arena.flush()
-                    self._write_index()
-        self._write_index()
+        import fcntl
+
+        with open(os.path.join(self.cache_dir, ".build_lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                # Whoever held the lock may have built (part of) the cache
+                # while we waited; re-read before appending.
+                self._load_index()
+                missing = [p for p in paths if p not in self.index]
+                if not missing:
+                    return
+                offset = 0
+                if os.path.exists(self.arena_path):
+                    offset = os.path.getsize(self.arena_path) // 4
+                # Checkpoint the index periodically: an interrupted
+                # multi-hour build must lose at most _INDEX_EVERY files of
+                # work, not re-decode (and re-append a duplicate copy of)
+                # everything on the next run.
+                with open(self.arena_path, "ab") as arena:
+                    for done, path in enumerate(missing, 1):
+                        length = 0
+                        with ChunkReader(path, self.sample_rate) as reader:
+                            while True:
+                                chunk = reader.read(_CHUNK)
+                                if chunk is None or len(chunk) == 0:
+                                    break
+                                arena.write(
+                                    np.asarray(chunk, dtype="<f4").tobytes()
+                                )
+                                length += len(chunk)
+                        self.index[path] = (offset, length)
+                        offset += length
+                        if done % _INDEX_EVERY == 0:
+                            arena.flush()
+                            self._write_index()
+                self._write_index()
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
         self._mmap = None  # force re-open at the new size
 
     def _write_index(self) -> None:

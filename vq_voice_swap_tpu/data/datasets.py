@@ -81,8 +81,12 @@ class LibriSpeech:
                 self.index = json.load(f)
         else:
             self.index = build_file_index(directory)
-            with open(index_path, "wt") as f:
+            # Atomic write: concurrent builders (multi-host shared FS)
+            # must never expose a half-written index to each other.
+            tmp = f"{index_path}.{os.getpid()}.tmp"
+            with open(tmp, "wt") as f:
                 json.dump(self.index, f)
+            os.replace(tmp, index_path)
 
         self.speaker_ids = sorted(self.index.keys())
         self.windows: List[WindowRef] = []

@@ -67,33 +67,10 @@ def _load_any_checkpoint(path: str):
         return load_checkpoint(path)
     except Exception as npz_err:  # not our npz format — maybe a torch file
         try:
-            import io
+            from .convert.torch_import import load_torch_checkpoint
 
-            import torch
-
-            from .convert.torch_import import (
-                _translate_kwargs,
-                convert_state_dict,
-            )
-
-            state = torch.load(path, map_location="cpu", weights_only=False)
-            kwargs = state["kwargs"]
-            sd = {k: v.numpy() for k, v in state["state_dict"].items()}
-            if any(k.startswith("vq.") for k in sd):
-                class_name = "VQVAE"
-            elif any(k.startswith("stem.") for k in sd):
-                class_name = "Classifier"
-            elif any(k.startswith("unet.") for k in sd):
-                class_name = "EncoderPredictor"
-            else:
-                class_name = "DiffusionModel"
-            variables = convert_state_dict(class_name, kwargs, sd)
-            registry_name = {
-                "Classifier": "ClassifierModel",
-                "EncoderPredictor": "EncoderPredictorModel",
-            }.get(class_name, class_name)
-            return registry_name, _translate_kwargs(class_name, kwargs), \
-                variables, {}
+            registry_name, kwargs, variables = load_torch_checkpoint(path)
+            return registry_name, kwargs, variables, {}
         except Exception as torch_err:
             # A real torch checkpoint that failed mid-conversion must show
             # the conversion error, not the irrelevant npz parse failure.

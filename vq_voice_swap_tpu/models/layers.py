@@ -167,6 +167,23 @@ class GroupNorm(nn.Module):
         return out
 
 
+def sinusoidal_time_features(ts: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """[N] ts in [0, 1] -> [N, channels] cos/sin features with frequencies
+    geometric in [0.1, 100] (reference wavegrad.py:352-373).
+
+    Pure function so the sequence-parallel predictor (parallel/sequence.py)
+    shares the EXACT numerics — these constants must never diverge between
+    the flax module and the T-sharded reimplementation.
+    """
+    assert channels % 2 == 0, "time-embedding channels must be even"
+    half = channels // 2
+    min_coeff, max_coeff = 0.1, 100.0
+    exponents = jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    freqs = max_coeff * jnp.exp(-math.log(max_coeff / min_coeff) * exponents)
+    args = ts.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
 class TimeEmbedding(nn.Module):
     """Sinusoidal timestep embedding with frequencies geometric in
     [0.1, 100], followed by a linear projection.
@@ -180,13 +197,7 @@ class TimeEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, ts: jnp.ndarray) -> jnp.ndarray:
-        assert self.channels % 2 == 0, "TimeEmbedding channels must be even"
-        half = self.channels // 2
-        min_coeff, max_coeff = 0.1, 100.0
-        exponents = jnp.arange(half, dtype=jnp.float32) / (half - 1)
-        freqs = max_coeff * jnp.exp(-math.log(max_coeff / min_coeff) * exponents)
-        args = ts.astype(jnp.float32)[:, None] * freqs[None, :]
-        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        emb = sinusoidal_time_features(ts, self.channels)
         if self.dtype is not None:
             emb = emb.astype(self.dtype)
         return nn.Dense(self.channels, dtype=self.dtype, name="proj")(emb)

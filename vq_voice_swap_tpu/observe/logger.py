@@ -145,7 +145,14 @@ class Logger:
         if not resume:
             self.out_file = open(out_filename, "w+")
             return
-        step, keep_bytes, from_marker = _scan_resume_point(out_filename)
+        try:
+            step, keep_bytes, from_marker = _scan_resume_point(out_filename)
+        except FileNotFoundError:
+            # Checkpoint present but no log (e.g. an output dir seeded with
+            # a converted reference checkpoint): resume the weights, start
+            # the log fresh at step 0.
+            self.out_file = open(out_filename, "w+")
+            return
         self.start_step = step
         self.out_file = open(out_filename, "r+")
         self.out_file.seek(keep_bytes)

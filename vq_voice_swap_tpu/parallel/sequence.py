@@ -302,17 +302,13 @@ def seq_parallel_unet_encoder(mesh, encoder, params, x):
 
 def _time_class_embedding(predictor, params, ts, labels):
     """[N] ts (+ labels) -> replicated [N, E] embedding, mirroring
-    UNetPredictor.__call__ (models/unet.py): sinusoidal TimeEmbedding with
-    frequencies geometric in [0.1, 100] + Dense, GELU, Dense, plus the class
-    embedding row."""
-    import math
+    UNetPredictor.__call__ (models/unet.py): sinusoidal TimeEmbedding
+    (numerics shared with models/layers.py) + Dense, GELU, Dense, plus the
+    class embedding row."""
+    from ..models.layers import sinusoidal_time_features
 
     embed_dim = predictor.base_channels * 4
-    half = embed_dim // 2
-    exponents = jnp.arange(half, dtype=jnp.float32) / (half - 1)
-    freqs = 100.0 * jnp.exp(-math.log(100.0 / 0.1) * exponents)
-    args = ts.astype(jnp.float32)[:, None] * freqs[None, :]
-    sincos = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    sincos = sinusoidal_time_features(ts, embed_dim)
     te = params["time_embed"]["proj"]
     emb = sincos @ te["kernel"] + te["bias"]
     emb = jax.nn.gelu(emb, approximate=False)

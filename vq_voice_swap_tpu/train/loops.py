@@ -149,9 +149,14 @@ class TrainLoop(ABC):
             # Non-divisible batches use the reference's weighted accumulation
             # (train_loop.py:99-112): full chunks scan-accumulate, the
             # trailing partial chunk is one extra statically-shaped grad
-            # call weighted by its share of the batch.
+            # call weighted by its share of the batch. --batch-size and
+            # --microbatch are PER-HOST sizes; the train step sees the
+            # GLOBAL batch (x process_count), so the remainder scales by
+            # the host count while the chunk COUNT stays the same.
             microbatches = args.batch_size // args.microbatch
-            micro_remainder = args.batch_size % args.microbatch
+            micro_remainder = (
+                args.batch_size % args.microbatch
+            ) * jax.process_count()
         self.train_step = make_train_step(
             self.build_loss_fn(),
             self.tx,
@@ -405,14 +410,20 @@ class TrainLoop(ABC):
                 lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
                 parts,
             )
-            if getattr(self, "_save_thread", None) is not None:
-                self._save_thread.join()  # one save in flight at a time
+            self.finish_pending_save()  # one save in flight; raises if the
+            # previous save failed — a silently dead worker would leave the
+            # run checkpoint-less for its remaining lifetime.
             self.logger.mark_saving(self.loop_steps + 1)
             import threading
 
-            self._save_thread = threading.Thread(
-                target=self._write_checkpoints, args=parts, daemon=False
-            )
+            def worker():
+                try:
+                    self._write_checkpoints(*parts)
+                except BaseException as e:  # surfaced at the next join
+                    self._save_error = e
+
+            self._save_error = None
+            self._save_thread = threading.Thread(target=worker, daemon=False)
             self._save_thread.start()
         else:
             self._write_checkpoints(*parts)
@@ -421,6 +432,12 @@ class TrainLoop(ABC):
         if getattr(self, "_save_thread", None) is not None:
             self._save_thread.join()
             self._save_thread = None
+            err = getattr(self, "_save_error", None)
+            if err is not None:
+                self._save_error = None
+                raise RuntimeError(
+                    "asynchronous checkpoint save failed"
+                ) from err
 
     def _write_checkpoints(self, params, emas, buffers, opt_state):
         variables = {"params": params}
@@ -721,10 +738,16 @@ class VQVAEAddClassesTrainLoop(VQVAETrainLoop):
     def create_model(self):
         assert self.args.pretrained_path, "must load from a pre-trained VQVAE"
         assert self.args.class_cond, "must create a class-conditional model"
-        pretrained, _ = VQVAE.load(self.args.pretrained_path)
+        # One read: load_from_pretrained reuses these weights instead of
+        # re-deserialising the (potentially multi-hundred-MB) file.
+        pretrained, pretrained_vars = VQVAE.load(self.args.pretrained_path)
+        self._pretrained = (pretrained, pretrained_vars)
         self.pretrained_num_labels = pretrained.num_labels
         self.pretrained_kwargs = pretrained.save_kwargs()
-        return super().create_model()
+        try:
+            return super().create_model()
+        finally:
+            self._pretrained = None  # free the host copy
 
     def create_new_model(self):
         kwargs = dict(self.pretrained_kwargs)
@@ -734,7 +757,7 @@ class VQVAEAddClassesTrainLoop(VQVAETrainLoop):
         return model, variables
 
     def load_from_pretrained(self, model, variables):
-        base_model, base_vars = VQVAE.load(self.args.pretrained_path)
+        base_model, base_vars = self._pretrained
         base_model, base_vars = base_model.add_labels(
             base_vars, self.num_labels
         )
@@ -777,7 +800,10 @@ class VQVAEUncondTrainLoop(VQVAETrainLoop):
     def create_model(self):
         assert self.args.pretrained_path, "must load from a pre-trained VQVAE"
         assert self.args.class_cond, "must create a class-conditional model"
-        pretrained, _ = VQVAE.load(self.args.pretrained_path)
+        # One read: load_from_pretrained reuses these weights instead of
+        # re-deserialising the (potentially multi-hundred-MB) file.
+        pretrained, pretrained_vars = VQVAE.load(self.args.pretrained_path)
+        self._pretrained = (pretrained, pretrained_vars)
         self.pretrained_num_labels = pretrained.num_labels
         self.pretrained_kwargs = pretrained.save_kwargs()
         # flax nn.Embed clamps out-of-range indices inside jit (unlike the
@@ -788,7 +814,10 @@ class VQVAEUncondTrainLoop(VQVAETrainLoop):
             f"VQVAE knows {self.pretrained_num_labels}; grow the label "
             f"space with train_vqvae_add.py first"
         )
-        return super().create_model()
+        try:
+            return super().create_model()
+        finally:
+            self._pretrained = None  # free the host copy
 
     def create_new_model(self):
         kwargs = dict(self.pretrained_kwargs)
@@ -798,7 +827,7 @@ class VQVAEUncondTrainLoop(VQVAETrainLoop):
         return model, variables
 
     def load_from_pretrained(self, model, variables):
-        base_model, base_vars = VQVAE.load(self.args.pretrained_path)
+        base_model, base_vars = self._pretrained
         # New unconditional label goes at the *beginning*
         # (reference train_loop.py:529-532).
         base_model, base_vars = base_model.add_labels(base_vars, 1, end=False)

@@ -71,15 +71,21 @@ def make_train_step(
                 state.params, state.buffers, rng, batch, ctx
             )
         else:
-            batch_size = jax.tree.leaves(batch)[0].shape[0]
+            batch_size = max(
+                x.shape[0] for x in jax.tree.leaves(batch) if jnp.ndim(x)
+            )
             full = batch_size - micro_remainder
             micro_size, rem = divmod(full, microbatches)
             assert rem == 0, (
                 f"batch {batch_size} != {microbatches}x{micro_size}"
                 f"+{micro_remainder}"
             )
+            # Rank-0 entries (curriculum scalars like ts_power) replicate
+            # across microbatches instead of being sliced.
             micro = jax.tree.map(
-                lambda x: jnp.reshape(
+                lambda x: jnp.broadcast_to(x, (microbatches,))
+                if jnp.ndim(x) == 0
+                else jnp.reshape(
                     x[:full], (microbatches, micro_size) + x.shape[1:]
                 ),
                 batch,
@@ -111,7 +117,9 @@ def make_train_step(
                 for k, v in aux_stack.items()
             }
             if micro_remainder:
-                rem = jax.tree.map(lambda x: x[full:], batch)
+                rem = jax.tree.map(
+                    lambda x: x if jnp.ndim(x) == 0 else x[full:], batch
+                )
                 (rem_loss, rem_aux), rem_grads = grad_fn(
                     state.params, state.buffers, keys[-1], rem, ctx
                 )
