@@ -14,6 +14,10 @@ from .tensor import (
     shard_state_tp,
     tp_shardings,
 )
+from .fsdp import (
+    fsdp_shardings,
+    shard_state_fsdp,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -21,11 +25,13 @@ __all__ = [
     "batch_sharding",
     "create_mesh",
     "create_mesh_2d",
+    "fsdp_shardings",
     "global_batch_from_local",
     "initialize_multihost",
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "shard_state_fsdp",
     "shard_state_tp",
     "tp_shardings",
 ]

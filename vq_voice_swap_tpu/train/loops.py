@@ -78,6 +78,7 @@ class TrainLoop(ABC):
         self.tensor_parallel = max(
             1, getattr(args, "tensor_parallel", 1) or 1
         )
+        self.fsdp = bool(getattr(args, "fsdp", False))
         if self.tensor_parallel > 1:
             from ..parallel import create_mesh_2d
 
@@ -128,7 +129,15 @@ class TrainLoop(ABC):
             emas=emas,
         )
         self._sync_state_from_primary()
-        if self.tensor_parallel > 1:
+        if self.fsdp:
+            from ..parallel import shard_state_fsdp
+
+            # ZeRO-3: params/EMAs/optimizer moments STORED sharded over
+            # the data axis (and the model axis too when combined with
+            # --tensor-parallel); XLA all-gathers weights at use and
+            # reduce-scatters grads (parallel/fsdp.py).
+            self.state = shard_state_fsdp(self.mesh, self.state, self.tx)
+        elif self.tensor_parallel > 1:
             from ..parallel import shard_state_tp
 
             # Params/EMAs/optimizer moments sharded on the model axis;
@@ -545,6 +554,11 @@ class TrainLoop(ABC):
                                  "mesh; weights/optimizer shard on their "
                                  "output-feature axis (device count must "
                                  "be divisible)")
+        parser.add_argument("--fsdp", action="store_true",
+                            help="ZeRO-3: store params/EMAs/optimizer "
+                                 "moments sharded over the data axis "
+                                 "(per-device state memory scales 1/N); "
+                                 "composes with --tensor-parallel")
         parser.add_argument("--async-save", action="store_true",
                             help="write checkpoints from a worker thread "
                                  "(device-side snapshot first), overlapping "
