@@ -61,6 +61,14 @@ def backend_reachable(timeout_s: float = 150.0) -> bool:
 
 
 def main():
+    # Persistent XLA compilation cache (~4-5 min per fresh program through
+    # the tunnel; re-runs hit disk). Harmless no-op where unsupported.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "runs", "jax_cache"),
+    )
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+
     import jax
     import numpy as np
 

@@ -11,6 +11,13 @@ exec > >(tee -a runs/tpu_queue_results.log) 2>&1
 
 echo "=== tpu_queue start: $(date -u) ==="
 
+# Persistent XLA compilation cache: each distinct jit program costs
+# ~4-5 min to compile through the tunnel; re-runs / resumed queues hit
+# the disk cache instead (no-op if the backend can't serialize).
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/runs/jax_cache}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
+
 # 0. Headline first: if the tunnel dies again before round end, this is
 #    the BENCH_r03 number (bench.py emits one JSON line).
 timeout 1800 python bench.py | tee runs/bench_headline.json
