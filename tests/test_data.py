@@ -134,6 +134,38 @@ def test_window_cache(tmp_path):
     assert cache2.file_length(wav_path) == 16000
 
 
+def test_window_cache_concurrent_builder_refreshes_mmap(tmp_path):
+    """Regression: when another process extended the arena while we waited
+    on the build lock, build() must re-open the (now too-short) mmap even
+    on its early 'nothing left to do' path — a stale mmap would silently
+    zero-pad reads of the newly cached file."""
+    from vq_voice_swap_tpu.data.cache import WindowCache
+
+    rng = np.random.RandomState(2)
+    sig_a = rng.randn(16000).astype(np.float32) * 0.1
+    sig_b = rng.randn(16000).astype(np.float32) * 0.1
+    path_a = os.path.join(tmp_path, "a.wav")
+    path_b = os.path.join(tmp_path, "b.wav")
+    _write_wav(path_a, sig_a)
+    _write_wav(path_b, sig_b)
+
+    cache_dir = os.path.join(tmp_path, "cache")
+    ours = WindowCache(cache_dir, 16000)
+    ours.build([path_a])
+    # Open the mmap at the one-file arena size.
+    ours.read_window(path_a, 0, 100)
+
+    # "Concurrent" builder (another process) extends the arena.
+    other = WindowCache(cache_dir, 16000)
+    other.build([path_a, path_b])
+
+    # Our build() takes the early return (other already cached b) but must
+    # still serve b's real samples, not zero padding from a stale mmap.
+    ours.build([path_a, path_b])
+    win = ours.read_window(path_b, 0, 8000)
+    np.testing.assert_allclose(win, sig_b[:8000], atol=1e-3)
+
+
 def test_librispeech_cached_matches_direct(tmp_path):
     os.makedirs(os.path.join(tmp_path, "spk"))
     signal = np.random.RandomState(1).randn(16000).astype(np.float32) * 0.1

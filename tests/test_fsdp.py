@@ -122,7 +122,7 @@ def test_fsdp_train_step_matches_single_device(tensor_parallel):
                 continue
             total += leaf.size
             shard = leaf.addressable_shards[0].data
-            if DATA_AXIS in jax.tree.leaves(leaf.sharding.spec):
+            if DATA_AXIS in leaf.sharding.spec:
                 assert shard.size <= leaf.size // dp, (
                     f"leaf {leaf.shape} not 1/dp-sharded: {shard.shape}"
                 )

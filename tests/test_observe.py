@@ -185,6 +185,18 @@ def test_logger_async_save_unconfirmed_marker_ignored(tmp_path):
     assert open(path).read().endswith("step 1: loss=1.0\n# saved\n")
 
 
+def test_logger_primary_resume_missing_file_raises(tmp_path):
+    """Resuming a checkpoint whose log is missing must fail loudly: the
+    step count is unknowable, and silently restarting at 0 would replay
+    steps 0..N's rng draws on step-N weights."""
+    import pytest
+
+    from vq_voice_swap_tpu.observe import Logger
+
+    with pytest.raises(RuntimeError, match="pretrained-path"):
+        Logger(str(tmp_path / "absent.txt"), resume=True)
+
+
 def test_logger_mark_saving_applies_start_step_offset(tmp_path):
     from vq_voice_swap_tpu.observe import Logger
 

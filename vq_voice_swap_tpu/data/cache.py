@@ -51,11 +51,14 @@ class WindowCache:
     def build(self, paths) -> None:
         """Decode any not-yet-cached files and append them to the arena.
 
-        Safe under concurrent builders (multi-host pods with a shared
-        filesystem, several loader processes on one host): an exclusive
-        flock serialises appends — interleaved `ab` writes from two
-        processes would otherwise scatter both writers' samples through
-        each other's index spans, silently corrupting every later read.
+        Safe under concurrent builders on ONE host (several loader
+        processes): an exclusive flock serialises appends — interleaved
+        `ab` writes from two processes would otherwise scatter both
+        writers' samples through each other's index spans, silently
+        corrupting every later read. flock is NOT reliably enforced
+        across hosts on network filesystems (gcsfuse/NFS without lockd
+        grant locks per-host), so multi-host pods must point each host
+        at its own cache_dir.
         """
         missing = [p for p in paths if p not in self.index]
         if not missing:
@@ -66,7 +69,10 @@ class WindowCache:
             fcntl.flock(lock, fcntl.LOCK_EX)
             try:
                 # Whoever held the lock may have built (part of) the cache
-                # while we waited; re-read before appending.
+                # while we waited; re-read before appending — and re-open
+                # the arena mmap either way: it may have grown and a stale
+                # short mmap would silently zero-pad reads past its end.
+                self._mmap = None
                 self._load_index()
                 missing = [p for p in paths if p not in self.index]
                 if not missing:
@@ -98,7 +104,6 @@ class WindowCache:
                 self._write_index()
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
-        self._mmap = None  # force re-open at the new size
 
     def _write_index(self) -> None:
         tmp = self.index_path + ".tmp"

@@ -148,11 +148,18 @@ class Logger:
         try:
             step, keep_bytes, from_marker = _scan_resume_point(out_filename)
         except FileNotFoundError:
-            # Checkpoint present but no log (e.g. an output dir seeded with
-            # a converted reference checkpoint): resume the weights, start
-            # the log fresh at step 0.
-            self.out_file = open(out_filename, "w+")
-            return
+            # A checkpoint with no log means the step count is unknowable:
+            # silently restarting at 0 would replay steps 0..N's rng draws
+            # (noise/timesteps) on step-N weights and mislabel every later
+            # log line and save marker. Fail loudly — warm starts from an
+            # external checkpoint (e.g. a converted reference .pt) are what
+            # --pretrained-path is for.
+            raise RuntimeError(
+                f"resuming from a checkpoint but its log is missing "
+                f"({out_filename}); if this output dir was seeded with an "
+                f"external/converted checkpoint, warm-start it via "
+                f"--pretrained-path into a fresh --output-dir instead"
+            )
         self.start_step = step
         self.out_file = open(out_filename, "r+")
         self.out_file.seek(keep_bytes)

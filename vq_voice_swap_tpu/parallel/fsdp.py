@@ -13,12 +13,13 @@ Heuristic: each weight leaf is sharded along its LARGEST mesh-divisible
 axis (largest minimizes the number of all-gather participants' padding and
 keeps shards contiguous); composes with tensor parallelism on a 2-D
 ``data x model`` mesh by reserving the output-feature axis for the model
-axis (parallel/tensor.py) and FSDP-sharding a *different* axis. Leaves
-with no divisible axis, scalars, and the VQ dictionary (whole code vectors
-must stay together for nearest-neighbour assignment and the shard_map
-Pallas kernel, ops/vq_pallas.py) replicate. GSPMD computes the same
-function for any annotation, so the heuristic affects performance only —
-exactness vs single-device is pinned in tests/test_fsdp.py.
+axis (the SHARED rule ``model_axis_shards_last_dim`` in parallel/tensor.py)
+and FSDP-sharding a *different* axis. Leaves with no divisible axis,
+scalars, and the VQ dictionary (whole code vectors must stay together for
+nearest-neighbour assignment and the shard_map Pallas kernel,
+ops/vq_pallas.py) replicate. GSPMD computes the same function for any
+annotation, so the heuristic affects performance only — exactness vs
+single-device is pinned in tests/test_fsdp.py.
 """
 
 from typing import Any
@@ -27,7 +28,12 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS
-from .tensor import MODEL_AXIS, _leaf_name
+from .tensor import (
+    MODEL_AXIS,
+    _leaf_name,
+    model_axis_shards_last_dim,
+    shard_state_by,
+)
 
 __all__ = [
     "fsdp_shardings",
@@ -42,21 +48,14 @@ def fsdp_shardings(mesh: Mesh, params: Any) -> Any:
     picks among the remaining axes."""
     dp = mesh.shape[DATA_AXIS]
     tp = mesh.shape.get(MODEL_AXIS, 1)
-    has_model_axis = MODEL_AXIS in mesh.axis_names
 
     def spec(path, leaf):
         if leaf.ndim == 0:
             return NamedSharding(mesh, P())
         dims = [None] * leaf.ndim
-        name_excluded = "dictionary" in _leaf_name(path)
-        if (
-            has_model_axis
-            and tp > 1
-            and not name_excluded
-            and leaf.shape[-1] % tp == 0
-        ):
+        if model_axis_shards_last_dim(path, leaf, tp):
             dims[-1] = MODEL_AXIS
-        if not name_excluded:
+        if "dictionary" not in _leaf_name(path):
             candidates = [
                 i
                 for i in range(leaf.ndim)
@@ -75,33 +74,8 @@ def fsdp_shardings(mesh: Mesh, params: Any) -> Any:
 def shard_state_fsdp(mesh: Mesh, state, tx) -> Any:
     """Device-put a TrainState with params / EMAs / optimizer moments
     FSDP-sharded (and TP-sharded too on a 2-D mesh); buffers and step
-    replicate.
-
-    The Adam mu/nu trees mirror the param tree and get the SAME sharding
-    as their parameter via optax.tree_map_params — the optimizer-state
-    memory (2/3 of Adam training state) is exactly what ZeRO exists to
-    shard.
-    """
-    import optax
-
-    replicated = NamedSharding(mesh, P())
-    pshard = fsdp_shardings(mesh, state.params)
-    put = jax.device_put
-
-    opt_state = optax.tree_map_params(
-        tx,
-        lambda s, sh: put(s, sh),
-        state.opt_state,
-        pshard,
-        transform_non_params=lambda s: put(s, replicated),
-    )
-    return type(state)(
-        step=put(state.step, replicated),
-        params=jax.tree.map(put, state.params, pshard),
-        buffers=jax.tree.map(lambda x: put(x, replicated), state.buffers),
-        opt_state=opt_state,
-        emas={
-            rate: jax.tree.map(put, tree, pshard)
-            for rate, tree in state.emas.items()
-        },
+    replicate. The Adam mu/nu memory — 2/3 of Adam training state, and
+    exactly what ZeRO exists to shard — scales 1/dp."""
+    return shard_state_by(
+        mesh, state, tx, fsdp_shardings(mesh, state.params)
     )

@@ -26,8 +26,10 @@ from .mesh import DATA_AXIS
 __all__ = [
     "MODEL_AXIS",
     "create_mesh_2d",
-    "tp_shardings",
+    "model_axis_shards_last_dim",
+    "shard_state_by",
     "shard_state_tp",
+    "tp_shardings",
 ]
 
 MODEL_AXIS = "model"
@@ -61,6 +63,21 @@ def _leaf_name(path) -> str:
     )
 
 
+def model_axis_shards_last_dim(path, leaf, tp: int) -> bool:
+    """THE tensor-parallel placement rule, shared by tp_shardings and
+    fsdp_shardings so --tensor-parallel with and without --fsdp always
+    place the model axis identically for the same checkpoint: the
+    output-feature (last) axis shards over MODEL_AXIS when divisible.
+    The VQ dictionary is excluded — whole code vectors stay together for
+    the nearest-neighbour assignment and k-means++ revival."""
+    return (
+        tp > 1
+        and leaf.ndim > 0
+        and leaf.shape[-1] % tp == 0
+        and "dictionary" not in _leaf_name(path)
+    )
+
+
 def tp_shardings(mesh: Mesh, params: Any) -> Any:
     """NamedSharding tree for ``params``: last-axis ('output features')
     sharding over MODEL_AXIS where divisible, replicated otherwise."""
@@ -68,13 +85,7 @@ def tp_shardings(mesh: Mesh, params: Any) -> Any:
     replicated = NamedSharding(mesh, P())
 
     def spec(path, leaf):
-        if (
-            leaf.ndim == 0
-            or leaf.shape[-1] % tp
-            # Whole code vectors stay together for the VQ nearest-neighbour
-            # assignment and k-means++ revival.
-            or "dictionary" in _leaf_name(path)
-        ):
+        if not model_axis_shards_last_dim(path, leaf, tp):
             return replicated
         return NamedSharding(
             mesh, P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
@@ -85,16 +96,21 @@ def tp_shardings(mesh: Mesh, params: Any) -> Any:
 
 def shard_state_tp(mesh: Mesh, state, tx) -> Any:
     """Device-put a TrainState for a 2-D mesh: params / EMAs / optimizer
-    moments tensor-sharded, everything else replicated.
+    moments tensor-sharded, everything else replicated."""
+    return shard_state_by(mesh, state, tx, tp_shardings(mesh, state.params))
+
+
+def shard_state_by(mesh: Mesh, state, tx, pshard: Any) -> Any:
+    """Device-put a TrainState with params / EMAs / optimizer moments
+    placed per ``pshard``; buffers and step replicate.
 
     The optimizer moments (Adam mu/nu mirror the param tree) get the SAME
     sharding as their parameter via optax.tree_map_params, so optimizer
-    memory scales down with the model axis too.
+    memory scales down exactly like the parameters do.
     """
     import optax
 
     replicated = NamedSharding(mesh, P())
-    pshard = tp_shardings(mesh, state.params)
     put = jax.device_put
 
     opt_state = optax.tree_map_params(
