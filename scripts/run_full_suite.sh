@@ -10,7 +10,7 @@ unset PALLAS_AXON_POOL_IPS
 fail=0
 run() {
   echo "=== chunk: $* ==="
-  timeout 3600 python -m pytest -q "$@" || fail=1
+  timeout 3600 python -m pytest -q --durations=15 "$@" || fail=1
 }
 
 # 1. Fast suite (~4 min).
