@@ -134,6 +134,41 @@ def test_window_cache(tmp_path):
     assert cache2.file_length(wav_path) == 16000
 
 
+def test_window_cache_repairs_torn_write(tmp_path):
+    """Regression: a builder killed mid-write leaves unindexed (possibly
+    4-byte-misaligned) tail bytes in the arena. The next build must
+    truncate back to the indexed end and re-decode — appending after the
+    torn tail would shift every new span, and np.memmap('<f4') refuses a
+    non-multiple-of-4 file outright (cache permanently bricked)."""
+    from vq_voice_swap_tpu.data.cache import WindowCache
+
+    rng = np.random.RandomState(3)
+    sig_a = rng.randn(16000).astype(np.float32) * 0.1
+    sig_b = rng.randn(16000).astype(np.float32) * 0.1
+    path_a = os.path.join(tmp_path, "a.wav")
+    path_b = os.path.join(tmp_path, "b.wav")
+    _write_wav(path_a, sig_a)
+    _write_wav(path_b, sig_b)
+
+    cache_dir = os.path.join(tmp_path, "cache")
+    cache = WindowCache(cache_dir, 16000)
+    cache.build([path_a])
+    # Simulate a SIGKILL mid arena.write: 7 garbage bytes past the
+    # indexed end (not a multiple of the 4-byte sample size).
+    with open(cache.arena_path, "ab") as f:
+        f.write(b"\x01" * 7)
+
+    fresh = WindowCache(cache_dir, 16000)
+    fresh.build([path_a, path_b])
+    np.testing.assert_allclose(
+        fresh.read_window(path_a, 0, 8000), sig_a[:8000], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        fresh.read_window(path_b, 0, 8000), sig_b[:8000], atol=1e-3
+    )
+    assert os.path.getsize(fresh.arena_path) % 4 == 0
+
+
 def test_window_cache_concurrent_builder_refreshes_mmap(tmp_path):
     """Regression: when another process extended the arena while we waited
     on the build lock, build() must re-open the (now too-short) mmap even

@@ -272,6 +272,58 @@ def test_microbatch_remainder_weighted_accumulation():
     )
 
 
+def test_microbatch_remainder_scales_with_process_count():
+    """Multi-host contract (train/loops.py): --batch-size/--microbatch are
+    PER-HOST sizes, the train step sees the GLOBAL batch, so TrainLoop
+    passes micro_remainder = (B % m) * process_count while the chunk
+    count stays B // m. Simulated here single-process with a 2-host
+    global batch: per-host B=6, m=4 -> global batch 12, one chunk of 8,
+    remainder 4 — and the weighted result still equals the full-batch
+    step."""
+    import jax
+    import jax.numpy as jnp
+    from vq_voice_swap_tpu.train import make_train_step
+    from vq_voice_swap_tpu.train.state import TrainState
+
+    process_count, host_batch, micro = 2, 6, 4
+    global_batch = host_batch * process_count  # 12
+    microbatches = host_batch // micro  # 1
+    micro_remainder = (host_batch % micro) * process_count  # 4
+
+    rng = np.random.RandomState(3)
+    batch = {
+        "x": jnp.asarray(rng.randn(global_batch, 3), jnp.float32),
+        "y": jnp.asarray(rng.randn(global_batch, 2), jnp.float32),
+    }
+    params = {"w": jnp.asarray(rng.randn(3, 2), jnp.float32)}
+
+    def loss_fn(params, buffers, rng, batch, ctx):
+        per_ex = jnp.sum((batch["x"] @ params["w"] - batch["y"]) ** 2, -1)
+        return jnp.mean(per_ex), {"mses": per_ex,
+                                  "ts": jnp.zeros_like(per_ex)}
+
+    def run(microbatches, micro_remainder):
+        tx = optax.sgd(1.0)
+        step = make_train_step(
+            loss_fn, tx, ema_rate_trees={},
+            microbatches=microbatches, micro_remainder=micro_remainder,
+            donate=False,
+        )
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params, buffers={},
+            opt_state=tx.init(params), emas={},
+        )
+        return step(state, batch, jax.random.key(0), None)
+
+    full_state, _ = run(1, 0)
+    acc_state, acc_metrics = run(microbatches, micro_remainder)
+    np.testing.assert_allclose(
+        np.asarray(acc_state.params["w"]),
+        np.asarray(full_state.params["w"]), rtol=1e-5, atol=1e-6,
+    )
+    assert acc_metrics["mses"].shape == (global_batch,)
+
+
 @pytest.mark.slow
 def test_diffusion_train_loop_async_save(tmp_path, monkeypatch):
     """--async-save: checkpoints land (worker thread joined at loop end),

@@ -77,9 +77,19 @@ class WindowCache:
                 missing = [p for p in paths if p not in self.index]
                 if not missing:
                     return
-                offset = 0
+                # Resume from the END OF THE INDEX, not the file size: a
+                # builder killed mid-write leaves unindexed (possibly
+                # 4-byte-misaligned) tail bytes; appending after them
+                # would shift every new span and np.memmap('<f4') refuses
+                # non-multiple-of-4 files outright. Truncate the torn
+                # tail — its file was never indexed, so it re-decodes.
+                offset = max(
+                    (off + ln for off, ln in self.index.values()), default=0
+                )
                 if os.path.exists(self.arena_path):
-                    offset = os.path.getsize(self.arena_path) // 4
+                    if os.path.getsize(self.arena_path) != offset * 4:
+                        with open(self.arena_path, "rb+") as f:
+                            f.truncate(offset * 4)
                 # Checkpoint the index periodically: an interrupted
                 # multi-hour build must lose at most _INDEX_EVERY files of
                 # work, not re-decode (and re-append a duplicate copy of)

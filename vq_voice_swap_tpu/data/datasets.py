@@ -20,7 +20,7 @@ one [N, T] array per batch.
 import json
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Union
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 
@@ -67,6 +67,7 @@ class LibriSpeech:
         window_spacing: float = 0.2,
         sample_rate: int = 16000,
         use_cache: bool = True,
+        cache_dir: Optional[str] = None,
     ):
         self.directory = directory
         self.encoding = encoding
@@ -99,8 +100,12 @@ class LibriSpeech:
         if use_cache:
             from .cache import WindowCache
 
+            # cache_dir must be per-host on multi-host shared filesystems
+            # (create_data_loader derives one from shard_index): the
+            # build flock only serialises builders within one host.
             self.cache = WindowCache(
-                os.path.join(directory, ".window_cache"), sample_rate
+                cache_dir or os.path.join(directory, ".window_cache"),
+                sample_rate,
             )
             self.cache.build(sorted({w.path for w in self.windows}))
 

@@ -7,6 +7,7 @@ the accelerator fed without pickling overhead; batches are plain numpy dicts
 {"label": [N], "samples": [N, T]} ready for device upload.
 """
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -188,6 +189,17 @@ def create_data_loader(
     if directory == "tones":
         dataset = ToneDataset(encoding=encoding)
     else:
+        if num_shards > 1:
+            # Per-host window-cache dir: the data dir is typically a
+            # shared filesystem on a pod, and WindowCache's build flock
+            # is only enforced within one host (data/cache.py) — two
+            # hosts appending to one arena would interleave and corrupt
+            # every later read. Each host decodes its own arena instead
+            # (duplicated decode work, but correct).
+            dataset_kwargs.setdefault(
+                "cache_dir",
+                os.path.join(directory, f".window_cache_h{shard_index}"),
+            )
         dataset = LibriSpeech(directory, encoding=encoding, **dataset_kwargs)
     loader = DataLoader(
         dataset,

@@ -24,6 +24,7 @@ import os
 import sys
 import time
 from abc import ABC, abstractmethod
+from contextlib import contextmanager
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -103,6 +104,25 @@ class TrainLoop(ABC):
 
         params = self.variables["params"]
         buffers = self.variables.get("buffers", {})
+
+        if (self.fsdp or self.tensor_parallel > 1) and jax.process_count() == 1:
+            # Place params sharded BEFORE the EMA copies and Adam moments
+            # are created: eager jnp.copy / optax zeros_like inherit the
+            # input sharding, so startup peak per-device memory stays
+            # ~1x params instead of ~4-5x — which matters exactly when
+            # --fsdp exists (training state larger than one chip's HBM).
+            # Multi-host keeps the late-shard order: the host-0 broadcast
+            # in _sync_state_from_primary needs host-local state, and the
+            # final shard_state_* pass below re-places everything anyway
+            # (a no-op for leaves already holding the target sharding).
+            from ..parallel import fsdp_shardings, tp_shardings
+
+            make_shardings = fsdp_shardings if self.fsdp else tp_shardings
+            params = jax.tree.map(
+                jax.device_put,
+                params,
+                make_shardings(self.mesh, params),
+            )
 
         self.ema_rates = [float(r) for r in args.ema_rate.split(",")]
         assert len(set(self.ema_rates)) == len(self.ema_rates), (
@@ -632,6 +652,23 @@ class VQVAETrainLoop(DiffusionTrainLoop):
     def model_class(self):
         return VQVAE
 
+    @contextmanager
+    def _pretrained_loaded(self):
+        """Load --pretrained-path ONCE for the duration of create_model:
+        load_from_pretrained reuses self._pretrained instead of
+        re-deserialising the (potentially multi-hundred-MB) file, and the
+        host copy is freed on exit. Also captures the pretrained kwargs /
+        label count the label-surgery subclasses build their models from.
+        """
+        pretrained, pretrained_vars = VQVAE.load(self.args.pretrained_path)
+        self._pretrained = (pretrained, pretrained_vars)
+        self.pretrained_num_labels = pretrained.num_labels
+        self.pretrained_kwargs = pretrained.save_kwargs()
+        try:
+            yield pretrained
+        finally:
+            self._pretrained = None
+
     def create_new_model(self):
         model = VQVAE(
             pred_name=self.args.predictor,
@@ -752,16 +789,8 @@ class VQVAEAddClassesTrainLoop(VQVAETrainLoop):
     def create_model(self):
         assert self.args.pretrained_path, "must load from a pre-trained VQVAE"
         assert self.args.class_cond, "must create a class-conditional model"
-        # One read: load_from_pretrained reuses these weights instead of
-        # re-deserialising the (potentially multi-hundred-MB) file.
-        pretrained, pretrained_vars = VQVAE.load(self.args.pretrained_path)
-        self._pretrained = (pretrained, pretrained_vars)
-        self.pretrained_num_labels = pretrained.num_labels
-        self.pretrained_kwargs = pretrained.save_kwargs()
-        try:
+        with self._pretrained_loaded():
             return super().create_model()
-        finally:
-            self._pretrained = None  # free the host copy
 
     def create_new_model(self):
         kwargs = dict(self.pretrained_kwargs)
@@ -814,24 +843,17 @@ class VQVAEUncondTrainLoop(VQVAETrainLoop):
     def create_model(self):
         assert self.args.pretrained_path, "must load from a pre-trained VQVAE"
         assert self.args.class_cond, "must create a class-conditional model"
-        # One read: load_from_pretrained reuses these weights instead of
-        # re-deserialising the (potentially multi-hundred-MB) file.
-        pretrained, pretrained_vars = VQVAE.load(self.args.pretrained_path)
-        self._pretrained = (pretrained, pretrained_vars)
-        self.pretrained_num_labels = pretrained.num_labels
-        self.pretrained_kwargs = pretrained.save_kwargs()
-        # flax nn.Embed clamps out-of-range indices inside jit (unlike the
-        # reference's torch nn.Embedding, which crashes): extra dataset
-        # speakers would otherwise all silently train the last row.
-        assert self.num_labels <= self.pretrained_num_labels, (
-            f"dataset has {self.num_labels} speakers but the pretrained "
-            f"VQVAE knows {self.pretrained_num_labels}; grow the label "
-            f"space with train_vqvae_add.py first"
-        )
-        try:
+        with self._pretrained_loaded():
+            # flax nn.Embed clamps out-of-range indices inside jit (unlike
+            # the reference's torch nn.Embedding, which crashes): extra
+            # dataset speakers would otherwise all silently train the last
+            # row.
+            assert self.num_labels <= self.pretrained_num_labels, (
+                f"dataset has {self.num_labels} speakers but the "
+                f"pretrained VQVAE knows {self.pretrained_num_labels}; "
+                f"grow the label space with train_vqvae_add.py first"
+            )
             return super().create_model()
-        finally:
-            self._pretrained = None  # free the host copy
 
     def create_new_model(self):
         kwargs = dict(self.pretrained_kwargs)
