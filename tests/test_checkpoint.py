@@ -148,6 +148,31 @@ def test_load_from_pretrained_partial(tmp_path):
     assert all(jax.tree.leaves(chex_equal))
 
 
+def test_model_load_reads_orbax_directory(tmp_path):
+    """ModelBase.load / load_model route directory paths to the Orbax
+    backend (regression: they previously fell through to np.load and
+    surfaced a misleading npz parse error)."""
+    import jax
+
+    from vq_voice_swap_tpu.checkpoint import save_checkpoint_orbax
+    from vq_voice_swap_tpu.diffusion_model import DiffusionModel
+    from vq_voice_swap_tpu.model_base import load_model
+
+    model = DiffusionModel(pred_name="wavegrad", base_channels=2)
+    variables = model.init_variables(jax.random.key(0), seq_len=256)
+    path = os.path.join(tmp_path, "ckpt_dir")
+    save_checkpoint_orbax(
+        path, "DiffusionModel", model.save_kwargs(), variables
+    )
+
+    loaded_model, loaded_vars = load_model(path)
+    assert isinstance(loaded_model, DiffusionModel)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(loaded_vars)[0]),
+        np.asarray(jax.tree.leaves(variables)[0]),
+    )
+
+
 def test_orbax_overwrite_and_extra_meta(tmp_path):
     """Re-saving over an existing Orbax checkpoint must swap atomically (old
     tree replaced, still loadable) and round-trip extra_meta."""

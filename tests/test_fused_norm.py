@@ -63,6 +63,22 @@ def test_fused_group_norm_grads():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_matmul_group_norm_large_mean_no_nan():
+    """Regression: unclamped one-pass variance cancels negative in f32 for
+    large-mean groups and rsqrt(var + eps) NaNs; also requires HIGHEST
+    matmul precision so f32 inputs aren't rounded to bf16 on the MXU."""
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(1000.0 + 0.01 * rng.randn(1, 256, 16), jnp.float32)
+    scale = jnp.ones(16, jnp.float32)
+    bias = jnp.zeros(16, jnp.float32)
+    got = np.asarray(matmul_group_norm(x, scale, bias, 4, 1e-5, False))
+    # One-pass variance cannot be ACCURATE at mean/std ~ 1e5 in f32 (the
+    # cancellation noise exceeds the true variance), but it must stay
+    # finite; accuracy at normal activation scales is pinned by
+    # test_matmul_group_norm_matches_reference below.
+    assert np.isfinite(got).all()
+
+
 def test_matmul_group_norm_matches_reference():
     assert not matmul_norm_enabled()  # opt-in (VVS_MATMUL_GN=1)
     rng = np.random.RandomState(2)

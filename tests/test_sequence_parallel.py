@@ -74,6 +74,23 @@ def test_seq_group_norm_matches():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_seq_group_norm_large_mean_no_nan():
+    """Regression: the one-pass E[x^2] - mean^2 variance can cancel to a
+    negative value in f32 for large-mean/tiny-variance groups; unclamped,
+    rsqrt(var + eps) is NaN (flax clamps at 0)."""
+    mesh = create_seq_mesh()
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(
+        300.0 + 0.01 * rng.randn(1, 64, 8), dtype=jnp.float32
+    )
+    scale = jnp.ones(8, jnp.float32)
+    bias = jnp.zeros(8, jnp.float32)
+    got = np.asarray(
+        seq_sharded_group_norm(mesh, _sharded(mesh, x), scale, bias, 4)
+    )
+    assert np.isfinite(got).all()
+
+
 def test_seq_pool_and_upsample():
     mesh = create_seq_mesh()
     rng = np.random.RandomState(3)

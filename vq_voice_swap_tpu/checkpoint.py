@@ -14,7 +14,6 @@ framework-agnostic; large-model sharded checkpoints can layer Orbax on top
 without changing the manifest.
 """
 
-import io
 import json
 import os
 import tempfile
@@ -66,13 +65,13 @@ def save_checkpoint(
     if extra_meta:
         meta["extra"] = extra_meta
     arrays = flatten_variables(variables)
-    buf = io.BytesIO()
-    np.savez(buf, **{_META_KEY: np.asarray(json.dumps(meta)), **arrays})
     dirname = os.path.dirname(os.path.abspath(path))
     fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            f.write(buf.getvalue())
+            # Stream straight into the temp file: an intermediate BytesIO
+            # would hold a second full copy of a multi-GB checkpoint.
+            np.savez(f, **{_META_KEY: np.asarray(json.dumps(meta)), **arrays})
             f.flush()
             os.fsync(f.fileno())  # no truncated file at `path` on power loss
         # mkstemp creates 0600 regardless of umask; match normal file perms

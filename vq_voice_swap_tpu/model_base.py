@@ -10,6 +10,7 @@ rebuilds the wrapper from any registered class; ``load_from_pretrained``
 copies the path-intersection of parameters and returns the scalar count.
 """
 
+import os
 from typing import Any, Dict, Optional, Tuple, Type
 
 import jax
@@ -62,7 +63,13 @@ def build_model(class_name: str, kwargs: Dict[str, Any]) -> "ModelBase":
 
 def _load_any_checkpoint(path: str):
     """Load an npz checkpoint, transparently converting reference PyTorch
-    .pt checkpoints on the fly (torch required for those)."""
+    .pt checkpoints on the fly (torch required for those). A directory is
+    an Orbax checkpoint (checkpoint.py::save_checkpoint_orbax — same
+    self-describing manifest, array-store backend)."""
+    if os.path.isdir(path):
+        from .checkpoint import load_checkpoint_orbax
+
+        return load_checkpoint_orbax(path)
     try:
         return load_checkpoint(path)
     except Exception as npz_err:  # not our npz format — maybe a torch file

@@ -28,6 +28,14 @@ def make_predictor(
     """Create an epsilon-predictor module from a human-readable name."""
     if pred_name == "wavegrad":
         assert not dropout, "dropout not supported for wavegrad"
+        if cond_channels:
+            # Fail fast: silently flooring would build a predictor whose
+            # cond convolution expects FEWER channels than the caller's
+            # encoder produces, crashing only at first real decode.
+            assert cond_channels % base_channels == 0, (
+                f"wavegrad cond_channels ({cond_channels}) must be a "
+                f"multiple of base_channels ({base_channels})"
+            )
         cond_mult = cond_channels // base_channels if cond_channels else 16
         return WaveGradPredictor(
             base_channels=base_channels,

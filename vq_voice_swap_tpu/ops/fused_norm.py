@@ -173,7 +173,10 @@ def _finish_from_channel_stats(x, sums, sqs, scale, bias, num_groups, eps,
     g_sum = jnp.sum(jnp.reshape(sums, (n, num_groups, -1)), axis=-1)
     g_sq = jnp.sum(jnp.reshape(sqs, (n, num_groups, -1)), axis=-1)
     mean = g_sum / count
-    var = g_sq / count - jnp.square(mean)
+    # Clamp at 0 like flax nn.GroupNorm: f32 cancellation in the one-pass
+    # E[x^2] - mean^2 can go slightly negative for large-mean groups, and
+    # rsqrt(<0 + eps) is NaN.
+    var = jnp.maximum(g_sq / count - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)  # [N, G]
     inv_c = jnp.repeat(inv, c // num_groups, axis=-1)  # [N, C]
     mean_c = jnp.repeat(mean, c // num_groups, axis=-1)
@@ -219,13 +222,18 @@ def mxu_channel_stats(x):
     Shared by matmul_group_norm and the fused-ResBlock kernels."""
     n, t, c = x.shape
     ones = jnp.ones((8, t), x.dtype)
+    # HIGHEST precision: DEFAULT would round f32 operands to bf16 on the
+    # MXU, breaking the exact-f32-accumulation claim for f32 models (bf16
+    # inputs are unaffected — their products are exact in f32 either way).
     sums = jax.lax.dot_general(
         ones, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )[0]  # [N, C]
     gram = jax.lax.dot_general(
         x, x, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [N, C, C]
     sqs = jnp.diagonal(gram, axis1=1, axis2=2)  # [N, C]
     return sums, sqs

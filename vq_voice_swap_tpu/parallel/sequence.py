@@ -166,7 +166,10 @@ def seq_sharded_group_norm(
         total_sq = jax.lax.psum(local_sq, SEQ_AXIS)
         count = tl * jax.lax.axis_size(SEQ_AXIS) * (c // num_groups)
         mean = total_sum / count
-        var = total_sq / count - jnp.square(mean)
+        # Clamp at 0 like flax nn.GroupNorm: f32 cancellation in the
+        # one-pass E[x^2] - mean^2 can go slightly negative for
+        # large-mean/small-variance groups, and rsqrt(<0 + eps) is NaN.
+        var = jnp.maximum(total_sq / count - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + eps)
         normed = (grouped - mean[:, None, :, None]) * inv[:, None, :, None]
         normed = jnp.reshape(normed, (n, tl, c))
