@@ -25,10 +25,21 @@ from vq_voice_swap_tpu.vq_vae import VQVAE
 
 
 def read_input(args) -> jnp.ndarray:
+    want = args.seconds * args.sample_rate
     with ChunkReader(
         args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
     ) as reader:
-        chunk = reader.read(args.seconds * args.sample_rate)
+        chunk = reader.read(want)
+    if chunk is None or len(chunk) == 0:
+        raise SystemExit(
+            f"could not decode any audio from {args.input_file!r} "
+            f"(missing file, unsupported codec, or empty stream)"
+        )
+    if len(chunk) < want:
+        print(
+            f"warning: input is only {len(chunk) / args.sample_rate:.2f}s, "
+            f"shorter than the requested {args.seconds}s"
+        )
     return jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
 
 
@@ -39,7 +50,12 @@ def convert(args, model, variables, enc_pred, in_seq):
     else:
         encoded = model.encode(variables, in_seq)
 
-    labels = jnp.asarray([args.label], dtype=jnp.int32)
+    # Unconditional models take no label (the predictor asserts on one).
+    labels = (
+        jnp.asarray([args.label], dtype=jnp.int32)
+        if model.num_labels is not None
+        else None
+    )
     decode = jax.jit(
         lambda v, codes, lab, rng: model.decode(
             v, codes, rng,
@@ -58,10 +74,18 @@ def convert(args, model, variables, enc_pred, in_seq):
 
 def main():
     args = arg_parser().parse_args()
+    # Fail flag conflicts BEFORE the (potentially minutes-long) decode.
+    assert not (args.check_vq and args.no_vq), (
+        "--check-vq requires VQ codes; incompatible with --no-vq"
+    )
 
     print("loading model from checkpoint...")
     model, variables = VQVAE.load(args.checkpoint_path)
-    assert args.label < model.num_labels, "label out of range"
+    # Both bounds: embedding lookups clamp inside jit, so a negative label
+    # would silently convert to speaker 0. Unconditional models
+    # (num_labels=None) ignore the label entirely.
+    if model.num_labels is not None:
+        assert 0 <= args.label < model.num_labels, "label out of range"
     if args.tensor_parallel > 1:
         # Serve a model too big for one chip: 2-D data x model mesh, weights
         # sharded on their output-feature axis (parallel/tensor.py).

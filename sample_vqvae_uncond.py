@@ -20,10 +20,17 @@ from vq_voice_swap_tpu.vq_vae import VQVAE
 def main():
     args = arg_parser().parse_args()
     warp = make_warp(args.schedule)
+    # Fail flag conflicts BEFORE the (potentially minutes-long) decode.
+    assert not (args.check_vq and args.no_vq), (
+        "--check-vq requires VQ codes; incompatible with --no-vq"
+    )
 
     print("loading model from checkpoint...")
     model, variables = VQVAE.load(args.checkpoint_path)
-    assert args.label + 1 < model.num_labels, "label out of range"
+    # Both bounds: label -1 would hit the reserved unconditional token
+    # (labels shift by +1 inside decode_uncond_guidance) and other
+    # negatives clamp to speaker 0 inside jit — all silently.
+    assert 0 <= args.label + 1 < model.num_labels, "label out of range"
     if args.tensor_parallel > 1:
         # Serve a model too big for one chip: 2-D data x model mesh, weights
         # sharded on their output-feature axis (parallel/tensor.py).
@@ -39,6 +46,11 @@ def main():
         args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
     ) as reader:
         chunk = reader.read(args.seconds * args.sample_rate)
+    if chunk is None or len(chunk) == 0:
+        raise SystemExit(
+            f"could not decode any audio from {args.input_file!r} "
+            f"(missing file, unsupported codec, or empty stream)"
+        )
     in_seq = jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
 
     print("encoding audio sequence...")

@@ -59,6 +59,13 @@ def main():
     args = parser.parse_args()
 
     model, variables = VQVAE.load(args.checkpoint_path)
+    # Embedding lookups clamp out-of-range indices inside jit: without
+    # this check a wrong --label would silently convert to a DIFFERENT
+    # speaker after the full (minutes-long) decode.
+    assert 0 <= args.label < (model.num_labels or 1), (
+        f"--label {args.label} out of range for a model with "
+        f"{model.num_labels} speakers"
+    )
 
     mesh = create_seq_mesh()
     n_shards = mesh.devices.size

@@ -84,7 +84,9 @@ def load_segments(args) -> Iterator[np.ndarray]:
     if (args.data_dir is None) == (args.sample_dir is None):
         raise SystemExit("must specify --data-dir or --sample-dir (not both)")
     if args.data_dir is not None:
-        loader, _ = create_data_loader(args.data_dir, batch_size=1)
+        loader, _ = create_data_loader(
+            args.data_dir, batch_size=1, encoding=args.encoding
+        )
         return segments_from_loader(args.num_samples, loader)
     files = sorted(
         os.path.join(args.sample_dir, x)
@@ -93,7 +95,7 @@ def load_segments(args) -> Iterator[np.ndarray]:
     )
     if args.num_samples:
         files = files[: args.num_samples]
-    return segments_from_files(files)
+    return segments_from_files(files, args.encoding)
 
 
 def segments_from_loader(limit: Optional[int], loader):
@@ -106,10 +108,12 @@ def segments_from_loader(limit: Optional[int], loader):
                 return
 
 
-def segments_from_files(files: List[str]) -> Iterator[np.ndarray]:
+def segments_from_files(
+    files: List[str], encoding: str = "linear"
+) -> Iterator[np.ndarray]:
     def read(path):
         duration = lookup_audio_duration(path)
-        with ChunkReader(path, sample_rate=16000) as reader:
+        with ChunkReader(path, sample_rate=16000, encoding=encoding) as reader:
             return reader.read(16000 * int(duration + 2))
 
     # Bounded submission window: Executor.map submits every file up front,
@@ -137,6 +141,10 @@ def arg_parser():
     parser.add_argument("--checkpoint-path", default="model_classifier.npz",
                         type=str)
     parser.add_argument("--batch-size", default=4, type=int)
+    parser.add_argument("--encoding", default="linear", type=str,
+                        help="waveform encoding the classifier was trained "
+                             "with (e.g. ulaw); applies to --data-dir and "
+                             "--sample-dir input alike")
     parser.add_argument("--num-samples", default=None, type=int)
     parser.add_argument("--sample-dir", default=None, type=str)
     parser.add_argument("--data-dir", default=None, type=str)

@@ -27,7 +27,7 @@ SCRIPTS_WITH_PARSERS = {
     "eval_vqvae": ["--batch-size"],
     "stat_generate": [
         "--checkpoint-path", "--batch-size", "--num-samples", "--sample-dir",
-        "--data-dir",
+        "--data-dir", "--encoding",
     ],
     "stat_compare": [],
     "voice_search_vqvae": [

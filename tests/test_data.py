@@ -383,3 +383,104 @@ def test_loader_shard_index_validation():
     with pytest.raises(ValueError, match="shard"):
         DataLoader(_IndexDataset(10), batch_size=2, shard_index=2,
                    num_shards=2)
+
+
+def _fake_ffmpeg_popen(script_for_fd):
+    """Popen replacement for the audio_io ffmpeg paths: parses the
+    pipe:<fd> from the ffmpeg argv and runs `sh -c script` with that fd
+    inherited, so the pipe plumbing is exercised without ffmpeg."""
+    import subprocess
+
+    import sys
+
+    real_popen = subprocess.Popen  # monkeypatch replaces the module attr
+
+    def popen(cmd, pass_fds=(), **kw):
+        fd = next(
+            int(a.split(":")[1]) for a in cmd if str(a).startswith("pipe:")
+        )
+        # python, not sh: POSIX sh redirection only supports single-digit
+        # fds and the pipe fd is usually >= 10.
+        return real_popen(
+            [sys.executable, "-c", script_for_fd(fd)], pass_fds=pass_fds,
+        )
+
+    return popen
+
+
+def test_chunk_reader_raises_on_midstream_decoder_failure(
+    tmp_path, monkeypatch
+):
+    """Regression: a decoder that dies after producing SOME samples (a
+    corrupt file mid-stream) must raise, not silently truncate — the
+    truncated file would otherwise feed zero-padded windows forever."""
+    import vq_voice_swap_tpu.data.audio_io as aio
+
+    raw = os.path.join(tmp_path, "raw.s16le")
+    with open(raw, "wb") as f:
+        f.write(np.zeros(1000, "<i2").tobytes())
+
+    monkeypatch.setattr(aio, "have_ffmpeg", lambda: True)
+    monkeypatch.setattr(
+        aio.subprocess, "Popen",
+        _fake_ffmpeg_popen(
+            lambda fd: (
+                f"import os; os.write({fd}, open({raw!r},'rb').read()); "
+                f"os.close({fd}); os._exit(3)"
+            )
+        ),
+    )
+    reader = aio.ChunkReader(os.path.join(tmp_path, "x.flac"), 16000)
+    with pytest.raises(RuntimeError, match="exit 3"):
+        # 1000 samples arrive, then the decoder dies mid-file.
+        reader.read(4000)
+
+
+def test_chunk_reader_fake_ffmpeg_clean_stream(tmp_path, monkeypatch):
+    """The pipe path end-to-end with a clean exit: all samples arrive,
+    chunked reads cross the bounded-read loop, EOF returns None."""
+    import vq_voice_swap_tpu.data.audio_io as aio
+
+    sig = (np.sin(np.arange(5000) * 0.01) * 0.25).astype(np.float32)
+    raw = os.path.join(tmp_path, "raw.s16le")
+    with open(raw, "wb") as f:
+        f.write((sig * 32767).astype("<i2").tobytes())
+
+    monkeypatch.setattr(aio, "have_ffmpeg", lambda: True)
+    monkeypatch.setattr(
+        aio.subprocess, "Popen",
+        _fake_ffmpeg_popen(
+            lambda fd: (
+                f"import os; os.write({fd}, open({raw!r},'rb').read()); "
+                f"os.close({fd}); os._exit(0)"
+            )
+        ),
+    )
+    reader = aio.ChunkReader(os.path.join(tmp_path, "x.flac"), 16000)
+    got = reader.read(1 << 40)  # huge request: bounded-read loop
+    np.testing.assert_allclose(got, sig, atol=1e-3)
+    assert reader.read(100) is None
+    reader.close()
+
+
+def test_chunk_writer_raises_on_encoder_failure(tmp_path, monkeypatch):
+    """Regression: a failed encode (disk full, bad container) must raise
+    at close() instead of reporting success with no usable output."""
+    import vq_voice_swap_tpu.data.audio_io as aio
+
+    monkeypatch.setattr(aio, "have_ffmpeg", lambda: True)
+    monkeypatch.setattr(
+        aio.subprocess, "Popen",
+        _fake_ffmpeg_popen(
+            lambda fd: (
+                f"import os\n"
+                f"while os.read({fd}, 65536):\n"
+                f"    pass\n"
+                f"os._exit(2)"
+            )
+        ),
+    )
+    writer = aio.ChunkWriter(os.path.join(tmp_path, "out.flac"), 16000)
+    writer.write(np.zeros(100, np.float32))
+    with pytest.raises(RuntimeError, match="exit 2"):
+        writer.close()

@@ -28,6 +28,11 @@ def main():
         args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
     ) as reader:
         chunk = reader.read(args.seconds * args.sample_rate)
+    if chunk is None or len(chunk) == 0:
+        raise SystemExit(
+            f"could not decode any audio from {args.input_file!r} "
+            f"(missing file, unsupported codec, or empty stream)"
+        )
     target = jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
 
     print("encoding audio sequence...")

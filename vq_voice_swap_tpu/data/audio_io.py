@@ -157,21 +157,38 @@ class ChunkReader:
 
         if self._done:
             return None
-        want = chunk_size * 2
-        buf = self._reader.read(want)
-        if len(buf) < want:
+        # Loop over bounded reads: huge chunk_size values (e.g. "read
+        # everything" callers passing 1<<62) would overflow
+        # BufferedReader.read's Py_ssize_t byte count if requested at once.
+        goal = chunk_size * 2
+        pieces = []
+        got = 0
+        while got < goal:
+            piece = self._reader.read(min(goal - got, 1 << 25))
+            if not piece:
+                break
+            pieces.append(piece)
+            got += len(piece)
+        buf = b"".join(pieces)
+        if len(buf) < goal:
+            # Stream ended. Distinguish "file ended" from "ffmpeg failed"
+            # (bad path, unsupported codec, CORRUPT FILE mid-stream —
+            # stderr is devnulled): silently treating a decoder death as
+            # EOF would truncate the file, so every later window of it
+            # becomes zero padding. Checked HERE, at the short read, not
+            # only on an empty one — a mid-stream failure usually
+            # surfaces as a final partial chunk.
             self._done = True
-        if not buf:
-            # Distinguish "file ended" from "ffmpeg failed before producing
-            # anything" (bad path, unsupported codec — stderr is devnulled):
-            # silently yielding None here would skip the file as if empty.
-            if self._read_total == 0 and self._proc is not None:
+            if self._proc is not None:
                 code = self._proc.wait()
                 if code != 0:
                     raise RuntimeError(
-                        f"ffmpeg failed to decode {self.path!r} "
-                        f"(exit {code}): missing file or unsupported codec?"
+                        f"ffmpeg failed while decoding {self.path!r} "
+                        f"(exit {code}) after "
+                        f"{self._read_total + len(buf)} bytes: missing "
+                        f"file, unsupported codec, or corrupt stream?"
                     )
+        if not buf:
             return None
         if len(buf) % 2:  # decoder killed mid-sample: drop the torn byte
             buf = buf[:-1]
@@ -256,7 +273,15 @@ class ChunkWriter:
         if self._writer is not None:
             self._writer.close()
         if self._proc is not None:
-            self._proc.wait()
+            code = self._proc.wait()
+            if code != 0:
+                # stderr is devnulled: without this check a failed encode
+                # (disk full, unwritable path, container finalize error)
+                # leaves a missing/corrupt file while the CLI reports
+                # success.
+                raise RuntimeError(
+                    f"ffmpeg failed to encode {self.path!r} (exit {code})"
+                )
 
     def __enter__(self):
         return self
