@@ -23,7 +23,11 @@ def merge_datasets(sources, output):
     combined = {}
     for ordinal, source in enumerate(sources):
         print(f"indexing dataset {source}...")
-        for speaker, files in LibriSpeech(source).index.items():
+        # use_cache=False: the merge only reads the duration index — the
+        # default would decode every source corpus into a window arena
+        # (hours of work, a corpus-sized file in each source dir) for
+        # nothing.
+        for speaker, files in LibriSpeech(source, use_cache=False).index.items():
             alias = f"{ordinal:02}_{speaker}"
             combined[alias] = files
             os.symlink(

@@ -180,3 +180,30 @@ def test_registries():
     assert make_encoder("conv-mfcc-linear", base_channels=4).input_ulaw is False
     with pytest.raises(ValueError):
         make_encoder("nope")
+
+
+def test_classifier_load_from_predictor_shape_mismatch_raises():
+    """Warm-starting the classifier stem from a mismatched predictor must
+    fail loudly (reference classifier.py:123-130 load_state_dict), not
+    silently copy (near) nothing."""
+    import jax
+
+    from vq_voice_swap_tpu.classifier_model import ClassifierModel
+    from vq_voice_swap_tpu.diffusion_model import DiffusionModel
+
+    clf = ClassifierModel(num_labels=3, base_channels=4)
+    clf_vars = clf.init_variables(jax.random.key(0), seq_len=2048)
+
+    # Matching config: copies a nonzero prefix of the stem.
+    ok = DiffusionModel(pred_name="unet", base_channels=4)
+    ok_vars = ok.init_variables(jax.random.key(1), seq_len=2048)
+    _, total = clf.load_from_predictor(
+        clf_vars, ok_vars["params"]["predictor"]
+    )
+    assert total > 0
+
+    # Mismatched base_channels: loud error, not total == 0.
+    bad = DiffusionModel(pred_name="unet", base_channels=8)
+    bad_vars = bad.init_variables(jax.random.key(2), seq_len=2048)
+    with pytest.raises(ValueError, match="base-channels"):
+        clf.load_from_predictor(clf_vars, bad_vars["params"]["predictor"])

@@ -99,9 +99,22 @@ class ClassifierModel(ModelBase):
 
         total = 0
         for path, value in renamed.items():
-            if path in dst and tuple(value.shape) == tuple(dst[path].shape):
-                dst[path] = jnp.asarray(value)
-                total += int(value.size)
+            if path not in dst:
+                # Depth beyond the classifier's stem: the UNet down path
+                # is longer than the stem, extra blocks are expected.
+                continue
+            if tuple(value.shape) != tuple(dst[path].shape):
+                # Fail loud like the reference (classifier.py:123-130,
+                # load_state_dict): silently skipping would warm-start
+                # from (near) nothing on a config mismatch.
+                raise ValueError(
+                    f"predictor parameter {path} has shape {value.shape} "
+                    f"but the classifier stem expects {dst[path].shape}; "
+                    f"do the --base-channels/--channel-mult match the "
+                    f"pretrained predictor?"
+                )
+            dst[path] = jnp.asarray(value)
+            total += int(value.size)
         new_params = traverse_util.unflatten_dict(dst, sep="/")
         return {"params": new_params}, total
 
