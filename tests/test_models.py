@@ -182,10 +182,12 @@ def test_registries():
         make_encoder("nope")
 
 
+@pytest.mark.slow
 def test_classifier_load_from_predictor_shape_mismatch_raises():
     """Warm-starting the classifier stem from a mismatched predictor must
     fail loudly (reference classifier.py:123-130 load_state_dict), not
-    silently copy (near) nothing."""
+    silently copy (near) nothing. Slow: initializes three full-topology
+    models (eager flax init is the cost on a 1-core host)."""
     import jax
 
     from vq_voice_swap_tpu.classifier_model import ClassifierModel
