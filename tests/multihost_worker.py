@@ -130,3 +130,29 @@ np.testing.assert_array_equal(
 )
 assert int(synced["step"]) == 1000, synced["step"]
 print(f"worker {proc_id}: sync ok", flush=True)
+
+# --- Collective Orbax checkpoint (TrainLoop --checkpoint-format orbax):
+# every process writes its own shards of a cross-host-sharded tree into
+# ONE directory checkpoint; no host gathers the full state.
+from vq_voice_swap_tpu.checkpoint import (  # noqa: E402
+    load_checkpoint_orbax,
+    save_checkpoint_orbax,
+)
+
+ckpt_dir = out_path + ".orbax"
+save_checkpoint_orbax(
+    ckpt_dir, "Test", {"a": 1}, {"params": {"w": sharded}}
+)
+multihost_utils.sync_global_devices("orbax-saved")
+cls_name, kwargs, restored, _ = load_checkpoint_orbax(ckpt_dir)
+assert cls_name == "Test" and kwargs == {"a": 1}
+# Restore preserves the cross-host sharding: gather to compare.
+restored_w = restored["params"]["w"]
+if not getattr(restored_w, "is_fully_addressable", True):
+    restored_w = multihost_utils.process_allgather(restored_w, tiled=True)
+np.testing.assert_array_equal(np.asarray(restored_w), np.asarray(leaf))
+if proc_id == 0:
+    with open(out_path + ".orbax_ok", "w") as f:
+        f.write("orbax-collective-ok\n")
+multihost_utils.sync_global_devices("orbax-done")
+print(f"worker {proc_id}: orbax ok", flush=True)

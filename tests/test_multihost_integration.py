@@ -100,6 +100,11 @@ def test_two_process_cluster_train_step(tmp_path):
     # Startup state sync: host 0's divergent state won on every host.
     assert _worker_logs_contain(logs, "sync ok")
 
+    # Collective Orbax checkpoint: both processes wrote their own shards
+    # into one directory and restored the full tree.
+    assert os.path.exists(out + ".orbax_ok"), "orbax section did not run"
+    assert _worker_logs_contain(logs, "orbax ok")
+
 
 def _worker_logs_contain(logs, needle):
     return all(needle in log for log in logs)

@@ -339,3 +339,32 @@ def test_diffusion_train_loop_async_save(tmp_path, monkeypatch):
 
     loop2 = DiffusionTrainLoop(args)
     assert loop2.resume and loop2.logger.start_step == 2
+
+
+@pytest.mark.slow
+def test_train_loop_orbax_checkpoint_format(tmp_path, monkeypatch):
+    """--checkpoint-format orbax (+ --fsdp): directory checkpoints written
+    without a host gather, opt/EMA restored on resume, and the sampler-side
+    model API reads the directory."""
+    _patch_loader(monkeypatch)
+    args = _diffusion_args(
+        tmp_path, extra=("--checkpoint-format", "orbax", "--fsdp")
+    )
+    loop = DiffusionTrainLoop(args)
+    loop.loop(max_steps=2)
+
+    assert os.path.exists(os.path.join(tmp_path, "model.orbax",
+                                       "manifest.json"))
+    assert os.path.exists(os.path.join(tmp_path, "model_ema_0.9999.orbax"))
+    assert os.path.exists(os.path.join(tmp_path, "opt.orbax"))
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    assert "# saved" in log
+
+    model, variables = ModelBase.load(os.path.join(tmp_path, "model.orbax"))
+    assert model.num_labels == 3
+
+    loop2 = DiffusionTrainLoop(args)
+    assert loop2.logger.start_step == 2
+    loop2.loop(max_steps=1)
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    assert "step 3:" in log

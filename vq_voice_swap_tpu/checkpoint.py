@@ -29,6 +29,8 @@ __all__ = [
     "load_checkpoint",
     "save_checkpoint_orbax",
     "load_checkpoint_orbax",
+    "save_tree_orbax",
+    "load_tree_orbax",
     "flatten_variables",
     "unflatten_variables",
     "copy_intersection",
@@ -123,6 +125,28 @@ def save_checkpoint_orbax(
     if extra_meta:
         meta["extra"] = extra_meta
 
+    if jax.process_count() > 1:
+        # Multi-host: the save is COLLECTIVE (every process writes its own
+        # shards), so all hosts must target the SAME final path — the
+        # single-host sibling-tmp-dir swap below would have each host
+        # invent a different tmp name. Orbax's own tmp+commit protocol
+        # makes the variables tree atomic; the manifest lands after the
+        # commit (host 0), so a reader that finds a manifest has a
+        # complete tree.
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            os.makedirs(path, exist_ok=True)
+        multihost_utils.sync_global_devices("ckpt_dir_ready")
+        save_tree_orbax(os.path.join(path, "variables"), variables)
+        if jax.process_index() == 0:
+            tmp_manifest = os.path.join(path, ".manifest.tmp")
+            with open(tmp_manifest, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp_manifest, os.path.join(path, "manifest.json"))
+        multihost_utils.sync_global_devices("ckpt_manifest_done")
+        return
+
     tmp = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".ckpt_tmp_")
     try:
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
@@ -148,14 +172,33 @@ def save_checkpoint_orbax(
 def load_checkpoint_orbax(
     path: str,
 ) -> Tuple[str, Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
-    import orbax.checkpoint as ocp
-
     path = os.path.abspath(path)
     with open(os.path.join(path, "manifest.json")) as f:
         meta = json.load(f)
-    ckptr = ocp.StandardCheckpointer()
-    variables = ckptr.restore(os.path.join(path, "variables"))
+    variables = load_tree_orbax(os.path.join(path, "variables"))
     return meta["class"], meta["kwargs"], variables, meta.get("extra", {})
+
+
+def save_tree_orbax(path: str, tree: Any) -> None:
+    """Write one pytree of (possibly sharded, multi-host) arrays via
+    Orbax — each process writes its own shards, no host-side gather.
+    Collective: every process must call this with the same path."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_tree_orbax(path: str, target: Any = None) -> Any:
+    """Restore a pytree written by save_tree_orbax; with a ``target``
+    template the result matches its structure (and shardings, when the
+    template leaves are sharded jax.Arrays)."""
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(
+        os.path.abspath(path), target
+    )
 
 
 def copy_intersection(

@@ -120,9 +120,19 @@ class ModelBase:
         raise NotImplementedError
 
     def save(self, path: str, variables: Dict[str, Any]) -> None:
-        save_checkpoint(
-            path, type(self).__name__, self.save_kwargs(), variables
-        )
+        """A ``.orbax`` path selects the directory format (sharded,
+        multi-host-collective, no host-side gather); anything else writes
+        the single-file npz."""
+        if path.endswith(".orbax"):
+            from .checkpoint import save_checkpoint_orbax
+
+            save_checkpoint_orbax(
+                path, type(self).__name__, self.save_kwargs(), variables
+            )
+        else:
+            save_checkpoint(
+                path, type(self).__name__, self.save_kwargs(), variables
+            )
 
     @classmethod
     def load(

@@ -370,8 +370,15 @@ class TrainLoop(ABC):
         path = self.opt_path()
         if os.path.exists(path):
             print("loading optimizer state from checkpoint...")
-            with open(path, "rb") as f:
-                restored = serialization.msgpack_restore(f.read())
+            if self.ckpt_ext() == "orbax":
+                from ..checkpoint import load_tree_orbax
+
+                restored = load_tree_orbax(
+                    path, serialization.to_state_dict(opt_state)
+                )
+            else:
+                with open(path, "rb") as f:
+                    restored = serialization.msgpack_restore(f.read())
             opt_state = serialization.from_state_dict(opt_state, restored)
         return opt_state
 
@@ -407,6 +414,16 @@ class TrainLoop(ABC):
     def save(self):
         state = self.state
         parts = (state.params, state.emas, state.buffers, state.opt_state)
+        if self.ckpt_ext() == "orbax":
+            # Sharded directory format: every process writes ITS OWN
+            # shards collectively — no host-side gather (the npz path's
+            # process_allgather would materialize the full FSDP/TP state
+            # on every host, exactly what the format exists to avoid).
+            # Synchronous: the collective save doesn't mix with the
+            # --async-save worker thread.
+            self.finish_pending_save()
+            self._write_checkpoints(*parts)
+            return
         if any(
             not (
                 getattr(leaf, "is_fully_addressable", True)
@@ -484,6 +501,16 @@ class TrainLoop(ABC):
     def save_opt_state(self, opt_state=None):
         if opt_state is None:
             opt_state = self.state.opt_state
+        if self.ckpt_ext() == "orbax":
+            from ..checkpoint import save_tree_orbax
+
+            # Collective sharded write of the Adam moments (the bulk of
+            # the training state) — no np.asarray gather.
+            save_tree_orbax(
+                self.opt_path(),
+                serialization.to_state_dict(opt_state),
+            )
+            return
         state_dict = serialization.to_state_dict(
             jax.tree.map(np.asarray, opt_state)
         )
@@ -493,14 +520,20 @@ class TrainLoop(ABC):
             f.write(data)
         os.replace(tmp, self.opt_path())
 
+    def ckpt_ext(self):
+        fmt = getattr(self.args, "checkpoint_format", "npz") or "npz"
+        return "orbax" if fmt == "orbax" else "npz"
+
     def checkpoint_path(self):
-        return os.path.join(self.args.output_dir, "model.npz")
+        return os.path.join(self.args.output_dir, f"model.{self.ckpt_ext()}")
 
     def ema_path(self, rate):
-        return os.path.join(self.args.output_dir, f"model_ema_{rate}.npz")
+        return os.path.join(
+            self.args.output_dir, f"model_ema_{rate}.{self.ckpt_ext()}"
+        )
 
     def opt_path(self):
-        return os.path.join(self.args.output_dir, "opt.npz")
+        return os.path.join(self.args.output_dir, f"opt.{self.ckpt_ext()}")
 
     def log_path(self):
         return os.path.join(self.args.output_dir, "train_log.txt")
@@ -579,6 +612,13 @@ class TrainLoop(ABC):
                                  "moments sharded over the data axis "
                                  "(per-device state memory scales 1/N); "
                                  "composes with --tensor-parallel")
+        parser.add_argument("--checkpoint-format", default="npz", type=str,
+                            choices=("npz", "orbax"),
+                            help="npz: single-file, host-gathered; orbax: "
+                                 "directory format where every process "
+                                 "writes its own shards (pair with --fsdp/"
+                                 "--tensor-parallel for state too large to "
+                                 "gather). orbax saves are synchronous")
         parser.add_argument("--async-save", action="store_true",
                             help="write checkpoints from a worker thread "
                                  "(device-side snapshot first), overlapping "
