@@ -80,6 +80,15 @@ class TrainLoop(ABC):
             1, getattr(args, "tensor_parallel", 1) or 1
         )
         self.fsdp = bool(getattr(args, "fsdp", False))
+        if (
+            getattr(args, "async_save", False)
+            and getattr(args, "checkpoint_format", "npz") == "orbax"
+        ):
+            print(
+                "warning: --async-save is ignored with --checkpoint-format "
+                "orbax (the collective sharded save is synchronous)",
+                file=sys.stderr,
+            )
         if self.tensor_parallel > 1:
             from ..parallel import create_mesh_2d
 
