@@ -20,26 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from vq_voice_swap_tpu.classifier_model import EncoderPredictorModel
-from vq_voice_swap_tpu.data import ChunkReader, ChunkWriter
+from vq_voice_swap_tpu.data import ChunkWriter, read_audio_input
 from vq_voice_swap_tpu.vq_vae import VQVAE
 
 
 def read_input(args) -> jnp.ndarray:
-    want = args.seconds * args.sample_rate
-    with ChunkReader(
-        args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
-    ) as reader:
-        chunk = reader.read(want)
-    if chunk is None or len(chunk) == 0:
-        raise SystemExit(
-            f"could not decode any audio from {args.input_file!r} "
-            f"(missing file, unsupported codec, or empty stream)"
-        )
-    if len(chunk) < want:
-        print(
-            f"warning: input is only {len(chunk) / args.sample_rate:.2f}s, "
-            f"shorter than the requested {args.seconds}s"
-        )
+    chunk = read_audio_input(
+        args.input_file, args.sample_rate, args.seconds, args.encoding
+    )
     return jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
 
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vq_voice_swap_tpu.data import ChunkReader, ChunkWriter
+from vq_voice_swap_tpu.data import ChunkWriter, read_audio_input
 from vq_voice_swap_tpu.diffusion import make_warp
 from vq_voice_swap_tpu.vq_vae import VQVAE
 
@@ -30,7 +30,9 @@ def main():
     # Both bounds: label -1 would hit the reserved unconditional token
     # (labels shift by +1 inside decode_uncond_guidance) and other
     # negatives clamp to speaker 0 inside jit — all silently.
-    assert 0 <= args.label + 1 < model.num_labels, "label out of range"
+    assert 0 <= args.label and args.label + 1 < model.num_labels, (
+        "label out of range"
+    )
     if args.tensor_parallel > 1:
         # Serve a model too big for one chip: 2-D data x model mesh, weights
         # sharded on their output-feature axis (parallel/tensor.py).
@@ -42,15 +44,9 @@ def main():
         )
 
     print(f"loading waveform from {args.input_file}...")
-    with ChunkReader(
-        args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
-    ) as reader:
-        chunk = reader.read(args.seconds * args.sample_rate)
-    if chunk is None or len(chunk) == 0:
-        raise SystemExit(
-            f"could not decode any audio from {args.input_file!r} "
-            f"(missing file, unsupported codec, or empty stream)"
-        )
+    chunk = read_audio_input(
+        args.input_file, args.sample_rate, args.seconds, args.encoding
+    )
     in_seq = jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
 
     print("encoding audio sequence...")

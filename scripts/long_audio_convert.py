@@ -61,11 +61,13 @@ def main():
     model, variables = VQVAE.load(args.checkpoint_path)
     # Embedding lookups clamp out-of-range indices inside jit: without
     # this check a wrong --label would silently convert to a DIFFERENT
-    # speaker after the full (minutes-long) decode.
-    assert 0 <= args.label < (model.num_labels or 1), (
-        f"--label {args.label} out of range for a model with "
-        f"{model.num_labels} speakers"
-    )
+    # speaker after the full (minutes-long) decode. Unconditional models
+    # take no label at all.
+    if model.num_labels is not None:
+        assert 0 <= args.label < model.num_labels, (
+            f"--label {args.label} out of range for a model with "
+            f"{model.num_labels} speakers"
+        )
 
     mesh = create_seq_mesh()
     n_shards = mesh.devices.size
@@ -100,7 +102,9 @@ def main():
         jnp.asarray(wav, dtype=jnp.float32)[None, :, None],
         NamedSharding(mesh, P(None, SEQ_AXIS, None)),
     )
-    labels = jnp.asarray([args.label])
+    labels = (
+        jnp.asarray([args.label]) if model.num_labels is not None else None
+    )
 
     start = time.perf_counter()
     out = seq_parallel_vqvae_convert(

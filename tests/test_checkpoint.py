@@ -173,6 +173,31 @@ def test_model_load_reads_orbax_directory(tmp_path):
     )
 
 
+def test_orbax_staged_fallback_after_crash_window(tmp_path):
+    """A crash between _commit_staged's two renames leaves <path> missing
+    and a COMPLETE <path>.new; loaders must fall back to it (model API
+    included) so the checkpoint is never lost."""
+    import os as _os
+
+    from vq_voice_swap_tpu.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    variables = {"params": {"w": np.arange(4, dtype=np.float32)}}
+    path = os.path.join(tmp_path, "ckpt_dir")
+    save_checkpoint_orbax(path, "Test", {"a": 1}, variables)
+    # Simulate the crash window: the committed dir was renamed away but
+    # the staged replacement never moved in.
+    _os.rename(path, path + ".new")
+
+    cls, kwargs, loaded, _ = load_checkpoint_orbax(path)
+    assert cls == "Test" and kwargs == {"a": 1}
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["w"]), variables["params"]["w"]
+    )
+
+
 def test_orbax_overwrite_and_extra_meta(tmp_path):
     """Re-saving over an existing Orbax checkpoint must swap atomically (old
     tree replaced, still loadable) and round-trip extra_meta."""

@@ -395,14 +395,18 @@ def _fake_ffmpeg_popen(script_for_fd):
 
     real_popen = subprocess.Popen  # monkeypatch replaces the module attr
 
-    def popen(cmd, pass_fds=(), **kw):
-        fd = next(
+    def popen(cmd, *args, pass_fds=(), **kw):
+        fds = [
             int(a.split(":")[1]) for a in cmd if str(a).startswith("pipe:")
-        )
+        ]
+        if not fds:
+            # Unrelated subprocess call (e.g. numpy.testing's lazy lscpu):
+            # pass it through untouched.
+            return real_popen(cmd, *args, pass_fds=pass_fds, **kw)
         # python, not sh: POSIX sh redirection only supports single-digit
         # fds and the pipe fd is usually >= 10.
         return real_popen(
-            [sys.executable, "-c", script_for_fd(fd)], pass_fds=pass_fds,
+            [sys.executable, "-c", script_for_fd(fds[0])], pass_fds=pass_fds,
         )
 
     return popen

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vq_voice_swap_tpu.data import ChunkReader
+from vq_voice_swap_tpu.data import read_audio_input
 from vq_voice_swap_tpu.vq_vae import VQVAE
 
 
@@ -24,15 +24,9 @@ def main():
     model, variables = VQVAE.load(args.checkpoint_path)
 
     print(f"loading waveform from {args.input_file}...")
-    with ChunkReader(
-        args.input_file, sample_rate=args.sample_rate, encoding=args.encoding
-    ) as reader:
-        chunk = reader.read(args.seconds * args.sample_rate)
-    if chunk is None or len(chunk) == 0:
-        raise SystemExit(
-            f"could not decode any audio from {args.input_file!r} "
-            f"(missing file, unsupported codec, or empty stream)"
-        )
+    chunk = read_audio_input(
+        args.input_file, args.sample_rate, args.seconds, args.encoding
+    )
     target = jnp.asarray(chunk, dtype=jnp.float32)[None, :, None]
 
     print("encoding audio sequence...")

@@ -107,17 +107,15 @@ def save_checkpoint_orbax(
     """Directory-format checkpoint via Orbax, for sharded/multi-host scale.
 
     Same self-describing manifest as the npz format (a manifest.json next to
-    the Orbax tree), so either backend can rebuild the model. Use this for
-    models too large for a single-host npz; Orbax writes each device's
-    shards in parallel.
+    the Orbax tree), so either backend can rebuild the model. The save is
+    COLLECTIVE on multi-host runs: every process writes its own shards —
+    no host-side gather.
 
-    Crash-safe: the new tree + manifest are written to a sibling temp dir
-    and swapped in with renames, so a kill mid-save leaves the previous
-    checkpoint intact (a process death between the two renames can lose the
-    OLD checkpoint only after the NEW one is fully on disk).
+    Crash-safe at every point via the ``.new`` staging protocol (see
+    _commit_staged): the previous checkpoint stays intact until the new
+    one is fully committed, and loaders fall back to a complete ``.new``
+    dir if a crash hit the final swap window.
     """
-    import shutil
-
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -125,54 +123,66 @@ def save_checkpoint_orbax(
     if extra_meta:
         meta["extra"] = extra_meta
 
+    new = path + ".new"
+    _primary_rm_and_barrier(new, "ckpt_stage")
+    ckptr = ocp.StandardCheckpointer()
+    # Orbax commits new/variables atomically (its own tmp+rename), so the
+    # manifest inside `new` is only readable next to a complete tree.
+    ckptr.save(os.path.join(new, "variables"), variables)
+    ckptr.wait_until_finished()
+    if jax.process_index() == 0:
+        tmp_manifest = os.path.join(new, ".manifest.tmp")
+        with open(tmp_manifest, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp_manifest, os.path.join(new, "manifest.json"))
+    _barrier("ckpt_staged")
+    if jax.process_index() == 0:
+        _commit_staged(path)
+    _barrier("ckpt_committed")
+
+
+def _barrier(tag: str) -> None:
     if jax.process_count() > 1:
-        # Multi-host: the save is COLLECTIVE (every process writes its own
-        # shards), so all hosts must target the SAME final path — the
-        # single-host sibling-tmp-dir swap below would have each host
-        # invent a different tmp name. Orbax's own tmp+commit protocol
-        # makes the variables tree atomic; the manifest lands after the
-        # commit (host 0), so a reader that finds a manifest has a
-        # complete tree.
         from jax.experimental import multihost_utils
 
-        if jax.process_index() == 0:
-            os.makedirs(path, exist_ok=True)
-        multihost_utils.sync_global_devices("ckpt_dir_ready")
-        save_tree_orbax(os.path.join(path, "variables"), variables)
-        if jax.process_index() == 0:
-            tmp_manifest = os.path.join(path, ".manifest.tmp")
-            with open(tmp_manifest, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp_manifest, os.path.join(path, "manifest.json"))
-        multihost_utils.sync_global_devices("ckpt_manifest_done")
-        return
+        multihost_utils.sync_global_devices(tag)
 
-    tmp = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".ckpt_tmp_")
-    try:
-        with open(os.path.join(tmp, "manifest.json"), "w") as f:
-            json.dump(meta, f)
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(tmp, "variables"), variables)
-        ckptr.wait_until_finished()
-        os.chmod(tmp, 0o755)
-        if os.path.exists(path):
-            old = tempfile.mkdtemp(
-                dir=os.path.dirname(path), prefix=".ckpt_old_"
-            )
-            os.rename(path, os.path.join(old, "prev"))
-            os.rename(tmp, path)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(tmp, path)
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+
+def _primary_rm_and_barrier(path: str, tag: str) -> None:
+    import shutil
+
+    if jax.process_index() == 0:
+        shutil.rmtree(path, ignore_errors=True)
+    _barrier(tag)
+
+
+def _commit_staged(path: str) -> None:
+    """Swap ``path.new`` over ``path``. Crash analysis: before the first
+    rename the old checkpoint is intact; between the renames ``path`` is
+    missing but ``path.new`` is complete (loaders fall back to it); after,
+    the new checkpoint is live. ``path.old`` is transient cleanup state."""
+    import shutil
+
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(path + ".new", path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def staged_fallback(path: str) -> str:
+    """The committed checkpoint dir, or its complete ``.new`` staging dir
+    when a crash hit the swap window of _commit_staged."""
+    if not os.path.exists(path) and os.path.isdir(path + ".new"):
+        return path + ".new"
+    return path
 
 
 def load_checkpoint_orbax(
     path: str,
 ) -> Tuple[str, Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
-    path = os.path.abspath(path)
+    path = staged_fallback(os.path.abspath(path))
     with open(os.path.join(path, "manifest.json")) as f:
         meta = json.load(f)
     variables = load_tree_orbax(os.path.join(path, "variables"))
@@ -182,23 +192,53 @@ def load_checkpoint_orbax(
 def save_tree_orbax(path: str, tree: Any) -> None:
     """Write one pytree of (possibly sharded, multi-host) arrays via
     Orbax — each process writes its own shards, no host-side gather.
-    Collective: every process must call this with the same path."""
+    Collective: every process must call this with the same path.
+    Crash-atomic via the same ``.new`` staging protocol as
+    save_checkpoint_orbax (a kill mid-save can never lose the previous
+    tree AND the new one)."""
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
+    _primary_rm_and_barrier(path + ".new", "tree_stage")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.save(path + ".new", tree)
     ckptr.wait_until_finished()
+    _barrier("tree_saved")
+    if jax.process_index() == 0:
+        _commit_staged(path)
+    _barrier("tree_committed")
 
 
 def load_tree_orbax(path: str, target: Any = None) -> Any:
     """Restore a pytree written by save_tree_orbax; with a ``target``
     template the result matches its structure (and shardings, when the
-    template leaves are sharded jax.Arrays)."""
+    template leaves are sharded jax.Arrays).
+
+    Without a target, a plain restore preserves the saved shardings —
+    right for same-topology resume. When the saved devices are absent
+    (train on a pod, sample/eval on one chip), that restore fails; fall
+    back to a metadata-derived target placed on the current default
+    device, which is what the serving path wants.
+    """
     import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer().restore(
-        os.path.abspath(path), target
-    )
+    path = staged_fallback(os.path.abspath(path))
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, target)
+    try:
+        return ckptr.restore(path)
+    except Exception:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        md = ckptr.metadata(path).item_metadata.tree
+        tgt = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(
+                tuple(m.shape), m.dtype, sharding=sharding
+            ),
+            md,
+            is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"),
+        )
+        return ckptr.restore(path, tgt)
 
 
 def copy_intersection(

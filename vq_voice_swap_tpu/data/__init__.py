@@ -7,6 +7,7 @@ from .audio_io import (
     encode_u_law,
     have_ffmpeg,
     lookup_audio_duration,
+    read_audio_input,
 )
 from .datasets import LibriSpeech, ToneDataset, build_file_index
 from .loader import DataLoader, create_data_loader
@@ -20,6 +21,7 @@ __all__ = [
     "encode_u_law",
     "have_ffmpeg",
     "lookup_audio_duration",
+    "read_audio_input",
     "LibriSpeech",
     "ToneDataset",
     "build_file_index",

@@ -26,6 +26,7 @@ __all__ = [
     "encode_u_law",
     "decode_u_law",
     "have_ffmpeg",
+    "read_audio_input",
 ]
 
 
@@ -316,3 +317,28 @@ def lookup_audio_duration(path: str) -> float:
                 break
             return seconds + 60 * (minutes + 60 * hours)
     raise ValueError(f"unexpected ffmpeg output for: {path}")
+
+
+def read_audio_input(
+    path: str, sample_rate: int, seconds: int, encoding: str = "linear"
+) -> np.ndarray:
+    """Decode up to ``seconds`` of an input clip for the conversion CLIs.
+
+    Fails loudly (SystemExit) on undecodable/empty input — jnp.asarray on
+    a None chunk would otherwise raise an opaque TypeError deep in JAX —
+    and warns when the clip is shorter than requested.
+    """
+    want = seconds * sample_rate
+    with ChunkReader(path, sample_rate=sample_rate, encoding=encoding) as r:
+        chunk = r.read(want)
+    if chunk is None or len(chunk) == 0:
+        raise SystemExit(
+            f"could not decode any audio from {path!r} (missing file, "
+            f"unsupported codec, or empty stream)"
+        )
+    if len(chunk) < want:
+        print(
+            f"warning: input is only {len(chunk) / sample_rate:.2f}s, "
+            f"shorter than the requested {seconds}s"
+        )
+    return np.asarray(chunk, dtype=np.float32)

@@ -66,7 +66,9 @@ def _load_any_checkpoint(path: str):
     .pt checkpoints on the fly (torch required for those). A directory is
     an Orbax checkpoint (checkpoint.py::save_checkpoint_orbax — same
     self-describing manifest, array-store backend)."""
-    if os.path.isdir(path):
+    if os.path.isdir(path) or os.path.isdir(path + ".new"):
+        # .new: a crash hit the commit-swap window of an Orbax save; the
+        # staging dir is complete (checkpoint.py::staged_fallback).
         from .checkpoint import load_checkpoint_orbax
 
         return load_checkpoint_orbax(path)

@@ -342,8 +342,15 @@ class TrainLoop(ABC):
 
         self.state = multihost_utils.broadcast_one_to_all(self.state)
 
+    def _ckpt_exists(self, path: str) -> bool:
+        # <path>.new: a crash hit the commit window of an Orbax save; the
+        # staging dir is complete and the loaders fall back to it.
+        return os.path.exists(path) or (
+            self.ckpt_ext() == "orbax" and os.path.isdir(path + ".new")
+        )
+
     def create_model(self) -> Tuple[ModelBase, Dict[str, Any], bool]:
-        if os.path.exists(self.checkpoint_path()):
+        if self._ckpt_exists(self.checkpoint_path()):
             print("loading from checkpoint...")
             model, variables = self.model_class().load(self.checkpoint_path())
             resume = True
@@ -366,7 +373,7 @@ class TrainLoop(ABC):
         emas = {}
         for rate in self.ema_rates:
             path = self.ema_path(rate)
-            if os.path.exists(path):
+            if self._ckpt_exists(path):
                 print(f"loading EMA {rate} from checkpoint...")
                 _, ema_vars = ModelBase.load(path)
                 emas[str(rate)] = ema_vars["params"]
@@ -377,7 +384,7 @@ class TrainLoop(ABC):
     def create_opt_state(self, params):
         opt_state = self.tx.init(params)
         path = self.opt_path()
-        if os.path.exists(path):
+        if self._ckpt_exists(path):
             print("loading optimizer state from checkpoint...")
             if self.ckpt_ext() == "orbax":
                 from ..checkpoint import load_tree_orbax
