@@ -48,7 +48,13 @@ timeout 1800 python train_vqvae.py tones --predictor unet --base-channels 64 \
   --save-interval 1000 --profile-dir runs/profile_train \
   --output-dir /tmp/profile_train_ckpt
 
-# 5. DDIM few-step quality arm (reuses runs/qeval checkpoints).
+# 5. Quality loop prerequisites: runs/ is gitignored, so the round-2
+#    qeval checkpoints did not survive the round boundary — retrain the
+#    tones diffusion + classifier (and land the 1k f32/bf16 arms while
+#    we're at it; they double as an early fallback datapoint).
+timeout 7200 bash scripts/quality_eval_tones.sh runs/qeval
+
+# 5b. DDIM few-step quality arm (reuses runs/qeval checkpoints).
 timeout 3000 bash scripts/quality_eval_ddim.sh runs/qeval 10
 
 # 6. Rerun the quality loop at the reference's 10k-sample protocol
