@@ -11,6 +11,22 @@ exec > >(tee -a runs/tpu_queue_results.log) 2>&1
 
 echo "=== tpu_queue start: $(date -u) ==="
 
+# Resumable: each step records a done-marker so a relaunched queue (the
+# driver/session can die mid-drain) skips completed measurements.
+mkdir -p runs/queue_done
+step() {
+  local name="$1"; shift
+  if [ -e "runs/queue_done/$name" ]; then
+    echo "=== skip $name (done marker) ==="
+    return 0
+  fi
+  if "$@"; then
+    touch "runs/queue_done/$name"
+  else
+    echo "=== step $name FAILED rc=$? (no marker; will retry on relaunch) ==="
+  fi
+}
+
 # Persistent XLA compilation cache: each distinct jit program costs
 # ~4-5 min to compile through the tunnel; re-runs / resumed queues hit
 # the disk cache instead (no-op if the backend can't serialize).
@@ -20,30 +36,30 @@ mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 # 0. Headline first: if the tunnel dies again before round end, this is
 #    the BENCH_r03 number (bench.py emits one JSON line).
-timeout 1800 python bench.py | tee runs/bench_headline.json
+step headline bash -c "timeout 1800 python bench.py | tee runs/bench_headline.json"
 
 # 1. Train throughput (VERDICT #5): batch scaling + pipeline depth + f32 row.
-timeout 4500 python scripts/bench_train.py --steps 30
+step bench_train timeout 4500 python scripts/bench_train.py --steps 30
 
 # 1b. Train-step roofline (FLOPs/bytes from XLA cost analysis).
-timeout 1200 python scripts/train_roofline.py --batch-size 8
-timeout 1200 python scripts/train_roofline.py --batch-size 32
+step roofline_b8 timeout 1200 python scripts/train_roofline.py --batch-size 8
+step roofline_b32 timeout 1200 python scripts/train_roofline.py --batch-size 32
 
 # 2. VQ Pallas kernel rent check at large codebooks (VERDICT #7).
-timeout 1800 python scripts/bench_vq.py
+step bench_vq timeout 1800 python scripts/bench_vq.py
 
 # 3. XLA scoped-vmem flag sweep on the headline bench.
-timeout 3000 python scripts/bench_xla_flags.py
+step xla_flags timeout 3000 python scripts/bench_xla_flags.py
 
 # 4. Donated-buffer sampling row (last unmeasured ledger idea) + matmul-GN.
-timeout 1800 python scripts/bench_sampling.py
+step bench_sampling timeout 1800 python scripts/bench_sampling.py
 
 # 4a. VQ-VAE voice-swap real-time factor (the second north-star metric).
-timeout 1800 python scripts/bench_swap_rtf.py
+step swap_rtf timeout 1800 python scripts/bench_swap_rtf.py
 
 # 4b. Profiled short train run: the trace feeds the round-4 training
 #     optimization pass (kernel-level breakdown of the 0.19 s step).
-timeout 1800 python train_vqvae.py tones --predictor unet --base-channels 64 \
+step profile_train timeout 1800 python train_vqvae.py tones --predictor unet --base-channels 64 \
   --encoder unet128 --class-cond --bf16 --batch-size 8 --max-steps 12 \
   --save-interval 1000 --profile-dir runs/profile_train \
   --output-dir /tmp/profile_train_ckpt
@@ -52,13 +68,13 @@ timeout 1800 python train_vqvae.py tones --predictor unet --base-channels 64 \
 #    qeval checkpoints did not survive the round boundary — retrain the
 #    tones diffusion + classifier (and land the 1k f32/bf16 arms while
 #    we're at it; they double as an early fallback datapoint).
-timeout 7200 bash scripts/quality_eval_tones.sh runs/qeval
+step qeval_tones timeout 7200 bash scripts/quality_eval_tones.sh runs/qeval
 
 # 5b. DDIM few-step quality arm (reuses runs/qeval checkpoints).
-timeout 3000 bash scripts/quality_eval_ddim.sh runs/qeval 10
+step qeval_ddim timeout 3000 bash scripts/quality_eval_ddim.sh runs/qeval 10
 
 # 6. Rerun the quality loop at the reference's 10k-sample protocol
 #    (/root/reference/README.md:43); long — intentionally last.
-timeout 18000 bash scripts/quality_eval_10k.sh runs/qeval
+step qeval_10k timeout 18000 bash scripts/quality_eval_10k.sh runs/qeval
 
 echo "=== tpu_queue done: $(date -u) ==="
