@@ -30,13 +30,23 @@ CASES = [
 ]
 
 
-def timeit(fn, *args, repeats=5):
-    np.asarray(fn(*args)[0])
+def timeit(fn, *args, repeats=30, rounds=3):
+    """Per-call time with async dispatch amortisation.
+
+    These kernels run in 0.1-5 ms, far below the tunnel round-trip, so
+    timing one synchronous call measures the tunnel, not the kernel.
+    Queue ``repeats`` async dispatches and block once; the device executes
+    them back-to-back while dispatch latency overlaps.
+    """
+    jax.block_until_ready(fn(*args))  # compile + warm
     times = []
-    for _ in range(repeats):
+    for _ in range(rounds):
         start = time.perf_counter()
-        np.asarray(fn(*args)[0])
-        times.append(time.perf_counter() - start)
+        out = None
+        for _ in range(repeats):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - start) / repeats)
     return min(times)
 
 

@@ -29,6 +29,16 @@ def main():
             env["LIBTPU_INIT_ARGS"] = (
                 env.get("LIBTPU_INIT_ARGS", "") + " " + extra
             ).strip()
+        # libtpu init args are process-global and NOT part of JAX's
+        # persistent-cache key — a shared cache dir would hand the vmem
+        # configs the default-flag executable and the sweep would measure
+        # nothing. One cache dir per config keeps re-runs warm without
+        # cross-contamination.
+        base_cache = env.get("JAX_COMPILATION_CACHE_DIR")
+        if base_cache:
+            env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+                base_cache, f"xla_flags_{label}"
+            )
         res = subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench.py")],
             capture_output=True, text=True, env=env, timeout=1500,
