@@ -21,8 +21,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_config(label, cli, extra, steps):
     out = tempfile.mkdtemp(prefix="bench_train_")
+    # tones:40 = 120 items (the default 30-item fixture caps batch_size
+    # under drop_last); identical shapes/compute per step either way.
     cmd = [
-        sys.executable, os.path.join(ROOT, cli), "tones",
+        sys.executable, os.path.join(ROOT, cli), "tones:40",
         "--max-steps", str(steps), "--save-interval", str(10 * steps),
         "--output-dir", out,
     ] + extra
@@ -51,29 +53,30 @@ def run_config(label, cli, extra, steps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on config labels (rerun one row)")
     args = ap.parse_args()
 
     base = ["--predictor", "unet", "--base-channels", "64",
             "--encoder", "unet128", "--class-cond", "--bf16"]
-    for bs in (8, 16, 32):
-        run_config(
-            f"vqvae unet64-class bf16 batch={bs}", "train_vqvae.py",
-            base + ["--batch-size", str(bs)], args.steps,
-        )
+    configs = []
+    for bs in (8, 16, 32, 64):
+        configs.append((f"vqvae unet64-class bf16 batch={bs}",
+                        base + ["--batch-size", str(bs)]))
     # Deeper metric pipeline: smooths tunnel dispatch jitter (the round-2
     # median-vs-peak gap) without changing the device program.
     for bs in (8, 32):
-        run_config(
-            f"vqvae unet64-class bf16 batch={bs} depth=4", "train_vqvae.py",
-            base + ["--batch-size", str(bs), "--pipeline-depth", "4"],
-            args.steps,
-        )
+        configs.append((f"vqvae unet64-class bf16 batch={bs} depth=4",
+                        base + ["--batch-size", str(bs),
+                                "--pipeline-depth", "4"]))
     # f32 reference point at the round-1 config.
-    run_config(
-        "vqvae unet64-class f32 batch=8", "train_vqvae.py",
-        [a for a in base if a != "--bf16"] + ["--batch-size", "8"],
-        args.steps,
-    )
+    configs.append(("vqvae unet64-class f32 batch=8",
+                    [a for a in base if a != "--bf16"]
+                    + ["--batch-size", "8"]))
+    for label, extra in configs:
+        if args.only and args.only not in label:
+            continue
+        run_config(label, "train_vqvae.py", extra, args.steps)
 
 
 if __name__ == "__main__":

@@ -42,7 +42,8 @@ def main():
             "--batch-size", str(args.batch_size),
             "--output-dir", "/tmp/train_roofline_ckpt",
             *(["--bf16"] if args.bf16 else []),
-            "tones",
+            # tones:40 = 120 items; the 30-item fixture caps batch_size.
+            "tones:40",
         ]
     )
     loop = VQVAETrainLoop(loop_args)

@@ -44,6 +44,23 @@ def test_tone_dataset():
     assert not np.allclose(ds_u[0]["samples"], ds[0]["samples"])
 
 
+def test_tones_scaled_spec():
+    # "tones:N" scales phases per speaker (large-batch bench fixture);
+    # bare "tones" stays the 30-item contract.
+    from vq_voice_swap_tpu.data import create_data_loader
+
+    loader, num_labels = create_data_loader(
+        "tones:40", batch_size=64, num_workers=0
+    )
+    assert num_labels == 3
+    assert len(loader.dataset) == 120
+    batch = next(iter(loader))
+    assert batch["samples"].shape[0] == 64
+    # Phases remain distinct across the widened index space.
+    ds = loader.dataset
+    assert not np.allclose(ds[0]["samples"], ds[117]["samples"])
+
+
 def test_create_data_loader_tones():
     loader, num_labels = create_data_loader("tones", batch_size=4)
     assert num_labels == 3

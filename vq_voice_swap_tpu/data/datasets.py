@@ -167,19 +167,20 @@ class ToneDataset:
     phase shift — deterministic, diskless, the universal test fixture."""
 
     def __init__(self, encoding: str = "linear", sample_rate: int = 16000,
-                 num_samples: int = 64000):
+                 num_samples: int = 64000, phases: int = 10):
         self.encoding = encoding
         self.sample_rate = sample_rate
         self.num_samples = num_samples
+        self.phases = phases
         self.speaker_ids = [300, 500, 1000]
 
     def __len__(self) -> int:
-        return len(self.speaker_ids) * 10
+        return len(self.speaker_ids) * self.phases
 
     def __getitem__(self, index: int) -> Dict[str, Union[int, np.ndarray]]:
         speaker = index % len(self.speaker_ids)
         freq = self.speaker_ids[speaker]
-        phase = (index // len(self.speaker_ids)) / 10
+        phase = (index // len(self.speaker_ids)) / self.phases
         t = np.arange(self.num_samples, dtype=np.float32) / self.sample_rate
         samples = np.sin((t + phase) * (2 * np.pi * freq)).astype(np.float32)
         samples = encode_from_linear(samples, self.encoding)

@@ -186,8 +186,13 @@ def create_data_loader(
     synthetic fixture (reference dataset.py:31-32). ``shard_index`` /
     ``num_shards`` give each host a disjoint slice of a shared per-epoch
     permutation (see DataLoader)."""
-    if directory == "tones":
-        dataset = ToneDataset(encoding=encoding)
+    if directory == "tones" or directory.startswith("tones:"):
+        # "tones" is the 30-item fixture (3 speakers x 10 phases, matching
+        # the reference's dataset.py:31-32); "tones:N" scales to N phases
+        # per speaker so large-batch throughput benches have enough items
+        # (the default fixture caps batch_size at 30 under drop_last).
+        phases = int(directory.split(":", 1)[1]) if ":" in directory else 10
+        dataset = ToneDataset(encoding=encoding, phases=phases)
     else:
         if num_shards > 1:
             # Per-host window-cache dir: the data dir is typically a
