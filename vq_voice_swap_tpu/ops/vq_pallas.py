@@ -218,7 +218,13 @@ def vq_assign(dictionary: jnp.ndarray, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp
     """
     d, c = dictionary.shape
     b = x.shape[0]
-    if pallas_supported(d, c):
+    # Measured rent gate (scripts/bench_vq.py on v5e, 2026-08-18): the
+    # kernel wins at small/mid codebooks (D=512: 1.27x at B=1600, 1.04x at
+    # B=6400; D=1024: 1.10x) but LOSES slightly at D=4096 (0.87-0.98x) —
+    # the [TB, D] distance tile re-reads the full codebook from VMEM every
+    # grid step, which stops paying once the codebook dwarfs the inputs.
+    # Route large codebooks to XLA's fused path.
+    if d <= 1024 and pallas_supported(d, c):
         n_dev = jax.device_count()
         if n_dev == 1 and b >= 512:
             return vq_assign_pallas(dictionary, x)
