@@ -36,6 +36,82 @@ BATCH = 16  # throughput saturates at batch >= 16 on v5e
 REPEATS = 2
 
 
+QUEUE_LOCK = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "runs", "tpu_queue.lock"
+)
+
+
+def _proc_descendants(root_pid: int) -> list:
+    """root_pid plus every live descendant, via /proc ppid links.
+
+    Ancestry-based (never name/pattern-based) so it can only ever touch the
+    measurement queue's own process tree.
+    """
+    children = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            continue
+        children.setdefault(ppid, []).append(int(d))
+    out, stack = [], [root_pid]
+    while stack:
+        p = stack.pop()
+        out.append(p)
+        stack.extend(children.get(p, []))
+    return out
+
+
+def take_chip_from_queue() -> None:
+    """If scripts/tpu_queue.sh holds the chip, terminate it by PID.
+
+    The official driver-run headline must not share the chip with a
+    background measurement drain (contention would corrupt the number).
+    Queue steps are idempotent + done-marker resumable, so killing the
+    drain mid-step only reruns that step on the next launch. Skipped when
+    we ARE the queue's own headline step (VVS_TPU_QUEUE set).
+    """
+    if os.environ.get("VVS_TPU_QUEUE"):
+        return
+    try:
+        with open(QUEUE_LOCK) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    import signal
+
+    try:
+        os.kill(pid, 0)
+    except OSError:  # stale lock from a dead queue
+        try:
+            os.remove(QUEUE_LOCK)
+        except OSError:
+            pass
+        return
+    print(f"bench: terminating tpu_queue (pid {pid}) for a quiet chip; "
+          "its steps are resumable", file=sys.stderr)
+    procs = _proc_descendants(pid)
+    for p in procs:
+        try:
+            os.kill(p, signal.SIGTERM)
+        except OSError:
+            pass
+    time.sleep(5)
+    for p in procs:
+        try:
+            os.kill(p, signal.SIGKILL)
+        except OSError:
+            pass
+    try:
+        os.remove(QUEUE_LOCK)
+    except OSError:
+        pass
+    time.sleep(10)  # let the tunnel drop the queue's in-flight programs
+
+
 def backend_reachable(timeout_s: float = 150.0) -> bool:
     """Probe backend init in a subprocess so a dead tunnel cannot hang us.
 
@@ -123,6 +199,7 @@ def main():
 
 
 if __name__ == "__main__":
+    take_chip_from_queue()
     if not backend_reachable():
         print("bench: backend probe failed; retrying in 120 s",
               file=sys.stderr)

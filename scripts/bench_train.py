@@ -60,12 +60,22 @@ def main():
     base = ["--predictor", "unet", "--base-channels", "64",
             "--encoder", "unet128", "--class-cond", "--bf16"]
     configs = []
-    for bs in (8, 16, 32, 64):
+    for bs in (8, 16):
         configs.append((f"vqvae unet64-class bf16 batch={bs}",
                         base + ["--batch-size", str(bs)]))
+    # Monolithic batch>=32 OOMs the 16 GB v5e HBM (bf16 [32,32000,128]
+    # activation temps alone are 250 MB each); the large-batch rows use the
+    # same two tools a real run would: microbatch accumulation (the
+    # reference's own answer, train_loop.py:99-112) or per-block remat.
+    configs.append(("vqvae unet64-class bf16 batch=32 micro=16",
+                    base + ["--batch-size", "32", "--microbatch", "16"]))
+    configs.append(("vqvae unet64-class bf16 batch=32 remat",
+                    base + ["--batch-size", "32", "--grad-checkpoint"]))
+    configs.append(("vqvae unet64-class bf16 batch=64 micro=16",
+                    base + ["--batch-size", "64", "--microbatch", "16"]))
     # Deeper metric pipeline: smooths tunnel dispatch jitter (the round-2
     # median-vs-peak gap) without changing the device program.
-    for bs in (8, 32):
+    for bs in (8, 16):
         configs.append((f"vqvae unet64-class bf16 batch={bs} depth=4",
                         base + ["--batch-size", str(bs),
                                 "--pipeline-depth", "4"]))

@@ -11,6 +11,15 @@ exec > >(tee -a runs/tpu_queue_results.log) 2>&1
 
 echo "=== tpu_queue start: $(date -u) ==="
 
+# Chip ownership lock: bench.py (the driver's official headline run) reads
+# this and terminates a live queue by PID ancestry to get a quiet chip —
+# every step below is resumable, so being killed mid-step only costs a
+# rerun of that step on the next drain. VVS_TPU_QUEUE guards the queue's
+# own headline step from killing its parent.
+echo $$ > runs/tpu_queue.lock
+trap 'rm -f runs/tpu_queue.lock' EXIT
+export VVS_TPU_QUEUE=1
+
 # Resumable: each step records a done-marker so a relaunched queue (the
 # driver/session can die mid-drain) skips completed measurements.
 mkdir -p runs/queue_done
@@ -40,6 +49,12 @@ step headline bash -c "timeout 1800 python bench.py | tee runs/bench_headline.js
 
 # 1. Train throughput (VERDICT #5): batch scaling + pipeline depth + f32 row.
 step bench_train timeout 4500 python scripts/bench_train.py --steps 30
+
+# 1a. Large-batch rows rerun: the first drain's batch-32/64 rows died on
+#     the 30-item tones fixture cap, and monolithic batch>=32 OOMs the
+#     16 GB chip — the rows now use microbatch accumulation / remat
+#     (see bench_train.py). Plus the batch=16 depth=4 pipeline row.
+step bench_train_large bash -c "timeout 3600 python scripts/bench_train.py --steps 30 --only 'batch=32' && timeout 2400 python scripts/bench_train.py --steps 30 --only 'batch=64' && timeout 2400 python scripts/bench_train.py --steps 30 --only 'batch=16 depth'"
 
 # 1b. Train-step roofline (FLOPs/bytes from XLA cost analysis).
 step roofline_b8 timeout 1200 python scripts/train_roofline.py --batch-size 8

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--measured-ms", type=float, default=None,
                     help="measured steady-state step time to compare")
+    ap.add_argument("--microbatch", type=int, default=None,
+                    help="accumulate in microbatches (required for the "
+                         "batch>=32 configs: monolithic steps OOM 16GB HBM)")
+    ap.add_argument("--grad-checkpoint", action="store_true")
     args = ap.parse_args()
 
     from vq_voice_swap_tpu.train import VQVAETrainLoop
@@ -42,6 +46,9 @@ def main():
             "--batch-size", str(args.batch_size),
             "--output-dir", "/tmp/train_roofline_ckpt",
             *(["--bf16"] if args.bf16 else []),
+            *(["--microbatch", str(args.microbatch)]
+              if args.microbatch else []),
+            *(["--grad-checkpoint"] if args.grad_checkpoint else []),
             # tones:40 = 120 items; the 30-item fixture caps batch_size.
             "tones:40",
         ]
