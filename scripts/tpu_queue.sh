@@ -50,15 +50,18 @@ step headline bash -c "timeout 1800 python bench.py | tee runs/bench_headline.js
 # 1. Train throughput (VERDICT #5): batch scaling + pipeline depth + f32 row.
 step bench_train timeout 4500 python scripts/bench_train.py --steps 30
 
+# 1b. Train-step roofline (FLOPs/bytes from XLA cost analysis). Quick —
+#     runs before the long train rows so a short window still lands it.
+step roofline_b8 timeout 1200 python scripts/train_roofline.py --batch-size 8
+step roofline_b32 timeout 1200 python scripts/train_roofline.py --batch-size 32
+
 # 1a. Large-batch rows rerun: the first drain's batch-32/64 rows died on
 #     the 30-item tones fixture cap, and monolithic batch>=32 OOMs the
 #     16 GB chip — the rows now use microbatch accumulation / remat
 #     (see bench_train.py). Plus the batch=16 depth=4 pipeline row.
-step bench_train_large bash -c "timeout 3600 python scripts/bench_train.py --steps 30 --only 'batch=32' && timeout 2400 python scripts/bench_train.py --steps 30 --only 'batch=64' && timeout 2400 python scripts/bench_train.py --steps 30 --only 'batch=16 depth'"
-
-# 1b. Train-step roofline (FLOPs/bytes from XLA cost analysis).
-step roofline_b8 timeout 1200 python scripts/train_roofline.py --batch-size 8
-step roofline_b32 timeout 1200 python scripts/train_roofline.py --batch-size 32
+#     (batch=32 rows landed 2026-08-18: micro=16 40.8 med / remat 34.6 —
+#     recorded in PERF.md; only the remaining rows rerun here.)
+step bench_train_large bash -c "timeout 2400 python scripts/bench_train.py --steps 30 --only 'batch=64' && timeout 2400 python scripts/bench_train.py --steps 30 --only 'batch=16 depth'"
 
 # 2. VQ Pallas kernel rent check at large codebooks (VERDICT #7).
 step bench_vq timeout 1800 python scripts/bench_vq.py
