@@ -71,6 +71,15 @@ def main():
                     base + ["--batch-size", "32", "--microbatch", "16"]))
     configs.append(("vqvae unet64-class bf16 batch=32 remat",
                     base + ["--batch-size", "32", "--grad-checkpoint"]))
+    # Policy remat ("convs"): saves only conv outputs, recomputes the
+    # norm/GELU chains — targets saved-activation HBM bytes, the training
+    # roofline's limiter, without paying conv FLOPs twice.
+    configs.append(("vqvae unet64-class bf16 batch=16 remat-convs",
+                    base + ["--batch-size", "16",
+                            "--grad-checkpoint", "convs"]))
+    configs.append(("vqvae unet64-class bf16 batch=32 remat-convs",
+                    base + ["--batch-size", "32",
+                            "--grad-checkpoint", "convs"]))
     configs.append(("vqvae unet64-class bf16 batch=64 micro=16",
                     base + ["--batch-size", "64", "--microbatch", "16"]))
     # Deeper metric pipeline: smooths tunnel dispatch jitter (the round-2

@@ -131,11 +131,13 @@ def test_encoder_predictor():
 
 
 @pytest.mark.slow
-def test_remat_grads_match():
-    """--grad-checkpoint (nn.remat) must give identical gradients."""
+@pytest.mark.parametrize("mode", [True, "convs"])
+def test_remat_grads_match(mode):
+    """--grad-checkpoint (nn.remat, full or convs policy) must give
+    identical gradients to the un-rematted model."""
     kw = dict(base_channels=4, channel_mult=(1, 2), middle_dilations=(2,),
               depth_mult=1)
-    m_remat = UNetPredictor(remat=True, **kw)
+    m_remat = UNetPredictor(remat=mode, **kw)
     m_plain = UNetPredictor(remat=False, **kw)
     x = jnp.asarray(
         np.random.RandomState(0).randn(2, 32, 1), dtype=jnp.float32
@@ -150,7 +152,11 @@ def test_remat_grads_match():
         params
     )
     diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)
-    assert max(jax.tree.leaves(diffs)) == 0.0
+    # Full remat replays the identical op sequence (bitwise); the convs
+    # policy re-fuses the recomputed norm chains, so reductions reassociate
+    # and f32 rounding differs at the 1e-7 level.
+    tol = 0.0 if mode is True else 5e-6
+    assert max(jax.tree.leaves(diffs)) <= tol
     total = sum(
         float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g1)
     )

@@ -5,7 +5,7 @@ including checkpoint-time label-embedding surgery (add_labels) — which in JAX
 is a pure params-tree transform rather than runtime module mutation.
 """
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import os
 
@@ -84,7 +84,7 @@ class DiffusionModel(ModelBase):
         cond_channels: Optional[int] = None,
         dropout: float = 0.0,
         dtype: Optional[str] = None,
-        remat: bool = False,
+        remat: Union[bool, str] = False,
     ):
         self.pred_name = pred_name
         self.base_channels = base_channels

@@ -16,6 +16,7 @@ from typing import Any, Callable, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 __all__ = [
     "TimeEmbedding",
@@ -271,6 +272,10 @@ class ResBlock(nn.Module):
         h = GroupNorm(dtype=self.dtype, use_gelu=True, name="norm_in")(x)
         h = self._resize(h)
         h = Conv1d(out_ch, 3, dtype=self.dtype, name="conv_in")(h)
+        # Tag for the "convs" remat policy (unet.py): save this conv output
+        # across the fwd/bwd boundary and recompute the cheap
+        # norm/GELU/FiLM chains from it. Identity outside a policy remat.
+        h = checkpoint_name(h, "rb_conv_in")
         h = GroupNorm(dtype=self.dtype, name="norm_mid")(h)
 
         if self.use_emb:

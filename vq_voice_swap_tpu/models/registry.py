@@ -5,7 +5,7 @@ predictors "wavegrad" | "unet"; encoders "wavegrad" | "unet" | "unet128" |
 "unet128-dilated" | "conv-mfcc-ulaw" | "conv-mfcc-ulaw-v2" | "conv-mfcc-linear".
 """
 
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 import flax.linen as nn
 
@@ -23,7 +23,7 @@ def make_predictor(
     cond_channels: Optional[int] = None,
     dropout: float = 0.0,
     dtype: Optional[Any] = None,
-    remat: bool = False,
+    remat: Union[bool, str] = False,
 ) -> nn.Module:
     """Create an epsilon-predictor module from a human-readable name."""
     if pred_name == "wavegrad":
@@ -60,7 +60,7 @@ def make_encoder(
     base_channels: int = 32,
     cond_mult: int = 16,
     dtype: Optional[Any] = None,
-    remat: bool = False,
+    remat: Union[bool, str] = False,
 ) -> nn.Module:
     """Create an encoder module from a human-readable name."""
     out_channels = base_channels * cond_mult

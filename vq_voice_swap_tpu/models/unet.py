@@ -13,9 +13,10 @@ torch.utils.checkpoint, and an optional bfloat16 compute dtype with float32
 params.
 """
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import (
@@ -30,6 +31,29 @@ from .layers import (
 __all__ = ["UNetPredictor", "UNetEncoder"]
 
 Dtype = Any
+
+
+def _remat_block(remat: Union[bool, str]):
+    """Resolve the ``remat`` knob to a (possibly rematted) ResBlock class.
+
+    - falsy: plain ResBlock (jax AD saves every linearization residual —
+      fastest when activations fit in HBM).
+    - True / "full": per-block ``jax.checkpoint`` saving only block inputs;
+      the whole block recomputes in the backward (minimum memory, pays the
+      conv FLOPs twice — measured ~16% slower, PERF.md round-3).
+    - "convs": save only the tagged conv outputs (``rb_conv_in`` in
+      layers.py) plus block inputs; the backward recomputes just the
+      norm/GELU/FiLM elementwise chains, never a conv. Cuts the saved-
+      residual HBM traffic (the training bottleneck per the PERF.md
+      train roofline: 42 FLOP/byte vs the chip's 240 balance point)
+      at near-zero recompute cost.
+    """
+    if not remat:
+        return ResBlock
+    policy = None
+    if remat == "convs":
+        policy = jax.checkpoint_policies.save_only_these_names("rb_conv_in")
+    return nn.remat(ResBlock, static_argnums=(3,), policy=policy)
 
 
 class UNetPredictor(nn.Module):
@@ -50,7 +74,7 @@ class UNetPredictor(nn.Module):
     out_channels: int = 1
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
-    remat: bool = False
+    remat: Union[bool, str] = False  # False | True/"full" | "convs"
 
     @property
     def downsample_rate(self) -> int:
@@ -70,9 +94,7 @@ class UNetPredictor(nn.Module):
 
         self.in_conv = Conv1d(ch, 3, dtype=self.dtype)
 
-        block = ResBlock
-        if self.remat:
-            block = nn.remat(ResBlock, static_argnums=(3,))
+        block = _remat_block(self.remat)
 
         down = []
         cur = ch
@@ -183,7 +205,7 @@ class UNetEncoder(nn.Module):
     in_channels: int = 1
     out_channels: int = 512
     dtype: Optional[Dtype] = None
-    remat: bool = False
+    remat: Union[bool, str] = False  # False | True/"full" | "convs"
 
     @property
     def downsample_rate(self) -> int:
@@ -191,9 +213,7 @@ class UNetEncoder(nn.Module):
 
     def setup(self):
         ch = self.base_channels
-        block = ResBlock
-        if self.remat:
-            block = nn.remat(ResBlock, static_argnums=(3,))
+        block = _remat_block(self.remat)
 
         self.in_conv = Conv1d(ch, 3, dtype=self.dtype)
         blocks = []
