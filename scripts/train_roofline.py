@@ -34,7 +34,8 @@ def main():
     ap.add_argument("--microbatch", type=int, default=None,
                     help="accumulate in microbatches (required for the "
                          "batch>=32 configs: monolithic steps OOM 16GB HBM)")
-    ap.add_argument("--grad-checkpoint", action="store_true")
+    ap.add_argument("--grad-checkpoint", nargs="?", const="full",
+                    default=False, choices=["full", "convs"])
     args = ap.parse_args()
 
     from vq_voice_swap_tpu.train import VQVAETrainLoop
@@ -48,7 +49,8 @@ def main():
             *(["--bf16"] if args.bf16 else []),
             *(["--microbatch", str(args.microbatch)]
               if args.microbatch else []),
-            *(["--grad-checkpoint"] if args.grad_checkpoint else []),
+            *(["--grad-checkpoint", args.grad_checkpoint]
+              if args.grad_checkpoint else []),
             # tones:40 = 120 items; the 30-item fixture caps batch_size.
             "tones:40",
         ]
