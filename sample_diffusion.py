@@ -136,24 +136,40 @@ def main():
         count = 0
         num_batches = int(math.ceil(args.num_samples / args.batch_size))
         for i in range(num_batches):
+            lo = i * args.batch_size
+            hi = min(lo + args.batch_size, args.num_samples)
+            paths = [
+                os.path.join(args.sample_path, f"sample_{c:06}.wav")
+                for c in range(lo, hi)
+            ]
+            # Exact resume: each batch is seeded independently via
+            # fold_in(root, i), so skipping fully-written batches
+            # reproduces the same sample stream as a fresh run. Files are
+            # written atomically below, so existence implies completeness
+            # (a killed 10k-sample run loses at most one batch).
+            if all(os.path.exists(p) for p in paths):
+                count = hi
+                continue
             rng, label_rng = jax.random.split(jax.random.fold_in(root, i))
             labels = sample_labels(label_rng, args.batch_size)
             samples = np.asarray(sample_batch(rng, labels, args.batch_size))
-            for seq in samples:
-                if count == args.num_samples:
-                    break
-                path = os.path.join(args.sample_path, f"sample_{count:06}.wav")
+            for seq, path in zip(samples, paths):
                 write_wav(path, seq[:, 0], args.encoding)
                 count += 1
+            count = hi
             print(f"generated {count}/{args.num_samples}")
 
 
 def write_wav(path, samples, encoding):
-    writer = ChunkWriter(path, SAMPLE_RATE, encoding=encoding)
+    # Atomic: encode to a temp .wav, then rename — so an existing file is
+    # always a complete one (the resume path above relies on this).
+    tmp = path + ".tmp.wav"
+    writer = ChunkWriter(tmp, SAMPLE_RATE, encoding=encoding)
     try:
         writer.write(np.asarray(samples).reshape(-1))
     finally:
         writer.close()
+    os.replace(tmp, path)
 
 
 def arg_parser():

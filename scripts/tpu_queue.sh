@@ -1,6 +1,12 @@
 #!/bin/bash
 # Drain the queued TPU measurements in sequence (single chip — serialize).
 # Usage: bash scripts/tpu_queue.sh >> /tmp/tpu_queue.log 2>&1 &
+#
+# Round-4 design: measurements live as drop-in scripts under
+# scripts/queue.d/NN_name.sh, executed in sorted order. The drain loop
+# re-globs after each full pass, so steps added while a drain is running
+# are picked up without a relaunch. Each step is resumable (done marker
+# on success, fail counter with a 3-strike cap on persistent failure).
 set -x
 cd "$(dirname "$0")/.."
 
@@ -14,27 +20,19 @@ echo "=== tpu_queue start: $(date -u) ==="
 # Chip ownership lock: bench.py (the driver's official headline run) reads
 # this and terminates a live queue by PID ancestry to get a quiet chip —
 # every step below is resumable, so being killed mid-step only costs a
-# rerun of that step on the next drain. VVS_TPU_QUEUE guards the queue's
-# own headline step from killing its parent.
+# rerun of that step on the next drain (bench.py re-arms the queue when
+# it finishes). VVS_TPU_QUEUE guards the queue's own python steps from
+# killing their parent. Refuse to start if another live queue holds the
+# lock (stale locks from dead queues are reaped).
+if [ -f runs/tpu_queue.lock ] && kill -0 "$(cat runs/tpu_queue.lock)" 2>/dev/null; then
+  echo "tpu_queue: another drain is live (pid $(cat runs/tpu_queue.lock)); exiting"
+  exit 0
+fi
 echo $$ > runs/tpu_queue.lock
 trap 'rm -f runs/tpu_queue.lock' EXIT
 export VVS_TPU_QUEUE=1
 
-# Resumable: each step records a done-marker so a relaunched queue (the
-# driver/session can die mid-drain) skips completed measurements.
 mkdir -p runs/queue_done
-step() {
-  local name="$1"; shift
-  if [ -e "runs/queue_done/$name" ]; then
-    echo "=== skip $name (done marker) ==="
-    return 0
-  fi
-  if "$@"; then
-    touch "runs/queue_done/$name"
-  else
-    echo "=== step $name FAILED rc=$? (no marker; will retry on relaunch) ==="
-  fi
-}
 
 # Persistent XLA compilation cache: each distinct jit program costs
 # ~4-5 min to compile through the tunnel; re-runs / resumed queues hit
@@ -43,56 +41,55 @@ export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/runs/j
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
-# 0. Headline first: if the tunnel dies again before round end, this is
-#    the BENCH_r03 number (bench.py emits one JSON line).
-step headline bash -c "timeout 1800 python bench.py | tee runs/bench_headline.json"
+# Wait out tunnel outages (round-2 failure mode: the backend can be down
+# for hours). The probe runs in a subprocess because `import jax` itself
+# hangs when the tunnel is dead.
+wait_for_backend() {
+  until timeout 180 python -c \
+    "import jax; d = jax.devices(); assert d[0].platform == 'tpu', d"; do
+    echo "=== backend unreachable: $(date -u); retrying in 300 s ==="
+    sleep 300
+  done
+}
 
-# 1. Train throughput (VERDICT #5): batch scaling + pipeline depth + f32 row.
-step bench_train timeout 4500 python scripts/bench_train.py --steps 30
+step() {
+  local name="$1"; shift
+  if [ -e "runs/queue_done/$name" ]; then
+    echo "=== skip $name (done marker) ==="
+    return 0
+  fi
+  local fails=0
+  [ -f "runs/queue_done/$name.fails" ] && fails=$(cat "runs/queue_done/$name.fails")
+  if [ "$fails" -ge 3 ]; then
+    echo "=== skip $name (failed $fails times; clear runs/queue_done/$name.fails to retry) ==="
+    return 0
+  fi
+  wait_for_backend
+  if "$@"; then
+    touch "runs/queue_done/$name"
+    rm -f "runs/queue_done/$name.fails"
+  else
+    echo "$((fails + 1))" > "runs/queue_done/$name.fails"
+    echo "=== step $name FAILED rc=$? (attempt $((fails + 1))/3) ==="
+  fi
+}
 
-# 1b. Train-step roofline (FLOPs/bytes from XLA cost analysis). Quick —
-#     runs before the long train rows so a short window still lands it.
-step roofline_b8 timeout 1200 python scripts/train_roofline.py --batch-size 8
-step roofline_b32 timeout 1200 python scripts/train_roofline.py --batch-size 32
-
-# 1a. Large-batch rows rerun: the first drain's batch-32/64 rows died on
-#     the 30-item tones fixture cap, and monolithic batch>=32 OOMs the
-#     16 GB chip — the rows now use microbatch accumulation / remat
-#     (see bench_train.py). Plus the batch=16 depth=4 pipeline row.
-#     (batch=32 rows landed 2026-08-18: micro=16 40.8 med / remat 34.6 —
-#     recorded in PERF.md; only the remaining rows rerun here.)
-step bench_train_large bash -c "timeout 2400 python scripts/bench_train.py --steps 30 --only 'batch=64' && timeout 2400 python scripts/bench_train.py --steps 30 --only 'batch=16 depth'"
-
-# 2. VQ Pallas kernel rent check at large codebooks (VERDICT #7).
-step bench_vq timeout 1800 python scripts/bench_vq.py
-
-# 3. XLA scoped-vmem flag sweep on the headline bench.
-step xla_flags timeout 3000 python scripts/bench_xla_flags.py
-
-# 4. Donated-buffer sampling row (last unmeasured ledger idea) + matmul-GN.
-step bench_sampling timeout 1800 python scripts/bench_sampling.py
-
-# 4a. VQ-VAE voice-swap real-time factor (the second north-star metric).
-step swap_rtf timeout 1800 python scripts/bench_swap_rtf.py
-
-# 4b. Profiled short train run: the trace feeds the round-4 training
-#     optimization pass (kernel-level breakdown of the 0.19 s step).
-step profile_train timeout 1800 python train_vqvae.py tones --predictor unet --base-channels 64 \
-  --encoder unet128 --class-cond --bf16 --batch-size 8 --max-steps 12 \
-  --save-interval 1000 --profile-dir runs/profile_train \
-  --output-dir /tmp/profile_train_ckpt
-
-# 5. Quality loop prerequisites: runs/ is gitignored, so the round-2
-#    qeval checkpoints did not survive the round boundary — retrain the
-#    tones diffusion + classifier (and land the 1k f32/bf16 arms while
-#    we're at it; they double as an early fallback datapoint).
-step qeval_tones timeout 7200 bash scripts/quality_eval_tones.sh runs/qeval
-
-# 5b. DDIM few-step quality arm (reuses runs/qeval checkpoints).
-step qeval_ddim timeout 3000 bash scripts/quality_eval_ddim.sh runs/qeval 10
-
-# 6. Rerun the quality loop at the reference's 10k-sample protocol
-#    (/root/reference/README.md:43); long — intentionally last.
-step qeval_10k timeout 18000 bash scripts/quality_eval_10k.sh runs/qeval
+# Drain passes: re-glob after each pass so drop-ins added mid-drain run
+# without a relaunch; stop when a pass finds nothing left to do.
+while :; do
+  ran_any=0
+  for f in scripts/queue.d/*.sh; do
+    [ -e "$f" ] || continue
+    name=$(basename "$f" .sh)
+    if [ ! -e "runs/queue_done/$name" ]; then
+      fails=0
+      [ -f "runs/queue_done/$name.fails" ] && fails=$(cat "runs/queue_done/$name.fails")
+      [ "$fails" -ge 3 ] && continue
+      ran_any=1
+    fi
+    step "$name" bash "$f"
+  done
+  [ "$ran_any" = 0 ] && break
+done
 
 echo "=== tpu_queue done: $(date -u) ==="

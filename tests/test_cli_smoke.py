@@ -106,6 +106,27 @@ def test_sample_diffusion_main(diffusion_ckpt, tmp_path):
     assert os.path.getsize(out) > 44  # wav header + payload
 
 
+def test_sample_diffusion_many_resume(diffusion_ckpt, tmp_path):
+    """--num-samples resumes batch-exact: deleting some outputs and
+    re-running regenerates only those batches, bit-identical to a fresh
+    run (each batch is seeded via fold_in(root, i))."""
+    args = ["--checkpoint-path", diffusion_ckpt, "--sample-steps", "2",
+            "--num-samples", "5", "--batch-size", "2"]
+    fresh = tmp_path / "fresh"
+    _run_main("sample_diffusion", args + ["--sample-path", str(fresh)])
+    names = sorted(os.listdir(fresh))
+    assert names == [f"sample_{i:06}.wav" for i in range(5)]
+
+    resumed = tmp_path / "resumed"
+    _run_main("sample_diffusion", args + ["--sample-path", str(resumed)])
+    # Kill the middle batch and the (short) final batch; keep batch 0.
+    for name in names[2:]:
+        os.remove(resumed / name)
+    _run_main("sample_diffusion", args + ["--sample-path", str(resumed)])
+    for name in names:
+        assert (resumed / name).read_bytes() == (fresh / name).read_bytes()
+
+
 def test_sample_vqvae_main(vqvae_ckpt, input_wav, tmp_path):
     out = str(tmp_path / "converted.wav")
     _run_main(

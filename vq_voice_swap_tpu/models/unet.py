@@ -50,6 +50,11 @@ def _remat_block(remat: Union[bool, str]):
     """
     if not remat:
         return ResBlock
+    if remat not in (True, "full", "convs"):
+        # Programmatic callers bypass the CLI's argparse choices; a typo
+        # ("conv") must not silently degrade to full remat (~16% slower).
+        raise ValueError(f"unknown remat policy {remat!r}; "
+                         "expected True/'full' or 'convs'")
     policy = None
     if remat == "convs":
         policy = jax.checkpoint_policies.save_only_these_names("rb_conv_in")
