@@ -342,6 +342,36 @@ def test_diffusion_train_loop_async_save(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_train_loop_orbax_async_save(tmp_path, monkeypatch):
+    """--async-save + --checkpoint-format orbax (single-process): the save
+    runs on the worker thread (two-phase '# saving @ N' marker + '# saved'
+    confirmation), checkpoints land, and a new loop resumes from them
+    (VERDICT round-3 item 4: the flag used to be inert under orbax)."""
+    _patch_loader(monkeypatch)
+    args = _diffusion_args(
+        tmp_path, extra=("--checkpoint-format", "orbax", "--async-save")
+    )
+    loop = DiffusionTrainLoop(args)
+    loop.loop(max_steps=2)
+
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    assert "# saving @" in log  # only the async worker path writes this
+    assert "# saved" in log
+    assert os.path.exists(os.path.join(tmp_path, "model.orbax",
+                                       "manifest.json"))
+    assert os.path.exists(os.path.join(tmp_path, "opt.orbax"))
+
+    model, variables = ModelBase.load(os.path.join(tmp_path, "model.orbax"))
+    assert model.num_labels == 3
+
+    loop2 = DiffusionTrainLoop(args)
+    assert loop2.resume and loop2.logger.start_step == 2
+    loop2.loop(max_steps=1)
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    assert "step 3:" in log
+
+
+@pytest.mark.slow
 def test_train_loop_orbax_checkpoint_format(tmp_path, monkeypatch):
     """--checkpoint-format orbax (+ --fsdp): directory checkpoints written
     without a host gather, opt/EMA restored on resume, and the sampler-side

@@ -83,10 +83,13 @@ class TrainLoop(ABC):
         if (
             getattr(args, "async_save", False)
             and getattr(args, "checkpoint_format", "npz") == "orbax"
+            and jax.process_count() > 1
         ):
             print(
                 "warning: --async-save is ignored with --checkpoint-format "
-                "orbax (the collective sharded save is synchronous)",
+                "orbax on multi-host runs (the collective save's barriers "
+                "cannot run on a worker thread while the main thread issues "
+                "train-step collectives)",
                 file=sys.stderr,
             )
         if self.tensor_parallel > 1:
@@ -430,13 +433,22 @@ class TrainLoop(ABC):
     def save(self):
         state = self.state
         parts = (state.params, state.emas, state.buffers, state.opt_state)
-        if self.ckpt_ext() == "orbax":
+        if self.ckpt_ext() == "orbax" and (
+            jax.process_count() > 1
+            or not getattr(self.args, "async_save", False)
+        ):
             # Sharded directory format: every process writes ITS OWN
             # shards collectively — no host-side gather (the npz path's
             # process_allgather would materialize the full FSDP/TP state
             # on every host, exactly what the format exists to avoid).
-            # Synchronous: the collective save doesn't mix with the
-            # --async-save worker thread.
+            # Multi-host saves stay synchronous: the collective's barriers
+            # must not interleave with train-step collectives from the
+            # --async-save worker thread. Single-process orbax has no
+            # barriers (checkpoint.py::_barrier no-ops), so --async-save
+            # falls through to the shared worker-thread path below — the
+            # snapshot + two-phase '# saving @ N'/'# saved' sentinel and
+            # the .new staging protocol give the same crash-safety as the
+            # synchronous save.
             self.finish_pending_save()
             self._write_checkpoints(*parts)
             return
@@ -612,7 +624,10 @@ class TrainLoop(ABC):
             help="rematerialize ResBlocks in the backward: 'full' (bare "
                  "flag; minimum memory, recomputes convs) or 'convs' (save "
                  "conv outputs, recompute only norm/GELU chains — less "
-                 "saved-activation HBM traffic at near-zero extra FLOPs)")
+                 "saved-activation HBM traffic at near-zero extra FLOPs). "
+                 "NOTE: the bare flag greedily consumes a following "
+                 "positional argument — place it after the data dir or "
+                 "write --grad-checkpoint=full")
         parser.add_argument("--encoding", default="linear", type=str)
         parser.add_argument("--seed", default=0, type=int)
         parser.add_argument("--bf16", action="store_true",
@@ -640,7 +655,9 @@ class TrainLoop(ABC):
                                  "directory format where every process "
                                  "writes its own shards (pair with --fsdp/"
                                  "--tensor-parallel for state too large to "
-                                 "gather). orbax saves are synchronous")
+                                 "gather). orbax + --async-save overlaps "
+                                 "on single-host runs; multi-host orbax "
+                                 "saves stay synchronous")
         parser.add_argument("--async-save", action="store_true",
                             help="write checkpoints from a worker thread "
                                  "(device-side snapshot first), overlapping "
