@@ -95,6 +95,15 @@ def main():
                 cond_fn=build_cond_fn(labels),
                 warp=warp,
             )
+        if args.sampler == "dpmpp":
+            return model.diffusion.dpmpp_sample(
+                x_T,
+                pred,
+                steps=args.sample_steps,
+                constrain=args.constrain,
+                cond_fn=build_cond_fn(labels),
+                warp=warp,
+            )
         return model.diffusion.ddpm_sample(
             x_T,
             pred,
@@ -190,8 +199,10 @@ def arg_parser():
                         help="named time warp: linear|quadratic|sqrt|pow:X")
     parser.add_argument("--encoding", default="linear", type=str)
     parser.add_argument("--sampler", default="ddpm", type=str,
-                        choices=("ddpm", "ddim"),
-                        help="ddim (beyond-reference) allows far fewer steps")
+                        choices=("ddpm", "ddim", "dpmpp"),
+                        help="ddim / dpmpp (beyond-reference) allow far "
+                             "fewer steps; dpmpp = DPM-Solver++(2M), "
+                             "second-order")
     parser.add_argument("--eta", default=0.0, type=float,
                         help="DDIM stochasticity (0 = deterministic)")
     parser.add_argument("--seed", default=0, type=int)

@@ -126,8 +126,10 @@ def arg_parser():
     parser.add_argument("--check-vq", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=("ddpm", "ddim"),
-                        help="ddim (beyond-reference) allows far fewer steps")
+                        choices=("ddpm", "ddim", "dpmpp"),
+                        help="ddim / dpmpp (beyond-reference) allow far "
+                             "fewer steps; dpmpp = DPM-Solver++(2M), "
+                             "second-order")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic)")
     parser.add_argument("--tensor-parallel", default=1, type=int,

@@ -100,8 +100,10 @@ def arg_parser():
     parser.add_argument("--guide-label-scale", type=float, default=1.0)
     parser.add_argument("--guide-vq-scale", type=float, default=0.0)
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=("ddpm", "ddim"),
-                        help="ddim (beyond-reference) allows far fewer steps")
+                        choices=("ddpm", "ddim", "dpmpp"),
+                        help="ddim / dpmpp (beyond-reference) allow far "
+                             "fewer steps; dpmpp = DPM-Solver++(2M), "
+                             "second-order")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic)")
     parser.add_argument("--no-vq", action="store_true")

@@ -277,6 +277,99 @@ class Diffusion:
         x_0, _ = jax.lax.scan(body, x_T, (jnp.arange(steps), keys))
         return x_0
 
+    def dpmpp_sample(
+        self,
+        x_T: jnp.ndarray,
+        predictor: PredictorFn,
+        steps: int,
+        rng: Optional[jax.Array] = None,
+        constrain: bool = False,
+        cond_fn: Optional[CondFn] = None,
+        warp: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """DPM-Solver++(2M) sampler (Lu et al. 2022) as one lax.scan.
+
+        Beyond-reference capability: a second-order multistep ODE solver in
+        the data-prediction parameterization — the same probability-flow ODE
+        DDIM integrates at first order, so it reaches DDIM-quality samples
+        in fewer predictor calls (the serving lever: every step saved is a
+        full UNet forward). Deterministic; ``rng`` is accepted for API
+        symmetry and ignored.
+
+        Update in half-log-SNR space lambda(t) = log(alpha_t / sigma_t),
+        alpha_t = sqrt(abar), sigma_t = sqrt(1 - abar):
+
+            x <- (sigma_next/sigma_cur) x - alpha_next (e^{-h} - 1) D,
+            h = lambda_next - lambda_cur,
+            D = x0_i + (x0_i - x0_{i-1}) / (2 r),  r = h_{i-1}/h_i
+
+        with first-order D = x0_i on the first step (no history) and the
+        final step (t_next = 0, where h = inf and e^{-h} = 0, so the update
+        lands exactly on the predicted x0 — same degeneracy as DDIM's last
+        step; ``lower_order_final`` in common implementations).
+        e^{-h} is computed ratio-form (alpha_cur sigma_next)/(sigma_cur
+        alpha_next) so the final step needs no infinite lambda arithmetic.
+
+        Guidance/constraint semantics match ddim_previous: score-form
+        epsilon shift, mean-subtract-then-clamp on x0.
+        """
+        del rng
+        batch = x_T.shape[0]
+        dt = 1.0 / steps
+
+        def t_at(i):
+            """Warped time at grid index i (i=0 -> t=1, i=steps -> t=0)."""
+            t = (steps - i).astype(jnp.float32) * dt
+            return warp(t) if warp is not None else t
+
+        def body(carry, i):
+            x, x0_prev, lam_prev, have_prev = carry
+            t_cur = t_at(i)
+            t_next = t_at(i + 1)
+            ts = jnp.full((batch,), t_cur, dtype=jnp.float32)
+
+            eps = predictor(x, ts)
+            abar_t = broadcast_to_batch(self.schedule(ts), x)
+            if cond_fn is not None:
+                eps = eps - jnp.sqrt(1.0 - abar_t) * cond_fn(x, ts)
+            x0 = self.eps_to_x0(x, ts, eps)
+            if constrain:
+                x0_mean = jnp.mean(
+                    x0, axis=tuple(range(1, x0.ndim)), keepdims=True
+                )
+                x0 = jnp.clip(x0 - x0_mean, -1.0, 1.0)
+
+            ts_next = jnp.full((batch,), t_next, dtype=jnp.float32)
+            abar_n = broadcast_to_batch(self.schedule(ts_next), x)
+            alpha_t, sigma_t = jnp.sqrt(abar_t), jnp.sqrt(1.0 - abar_t)
+            alpha_n, sigma_n = jnp.sqrt(abar_n), jnp.sqrt(1.0 - abar_n)
+
+            # Ratio form: exactly 0 on the final step (sigma_n = 0).
+            exp_neg_h = (alpha_t * sigma_n) / (sigma_t * alpha_n)
+            lam_cur = 0.5 * (jnp.log(abar_t) - jnp.log1p(-abar_t))
+            lam_next = 0.5 * (jnp.log(abar_n) - jnp.log1p(-abar_n))
+
+            is_last = (i == steps - 1)
+            use_2nd = jnp.logical_and(have_prev > 0.5,
+                                      jnp.logical_not(is_last))
+            h_cur = lam_next - lam_cur  # +inf on the final step
+            h_prev = lam_cur - lam_prev
+            safe_r = jnp.where(use_2nd, h_prev / h_cur, 1.0)
+            d2 = x0 + (x0 - x0_prev) * (0.5 / safe_r)
+            d = jnp.where(use_2nd, d2, x0)
+
+            x_new = (sigma_n / sigma_t) * x - alpha_n * (exp_neg_h - 1.0) * d
+            return (x_new, x0, lam_cur, jnp.float32(1.0)), None
+
+        carry0 = (
+            x_T,
+            jnp.zeros_like(x_T),
+            jnp.zeros_like(broadcast_to_batch(jnp.zeros((batch,)), x_T)),
+            jnp.float32(0.0),
+        )
+        (x_0, _, _, _), _ = jax.lax.scan(body, carry0, jnp.arange(steps))
+        return x_0
+
     # ---------------------------------------------------------------- losses
 
     def ddpm_losses(

@@ -252,6 +252,11 @@ class VQVAE(DiffusionModel):
                 x_T, pred_fn, steps=steps, rng=rng, eta=eta,
                 constrain=constrain, cond_fn=cond_fn, **kwargs,
             )
+        if sampler == "dpmpp":
+            return self.diffusion.dpmpp_sample(
+                x_T, pred_fn, steps=steps, rng=rng,
+                constrain=constrain, cond_fn=cond_fn, **kwargs,
+            )
         assert sampler == "ddpm", f"unknown sampler {sampler!r}"
         return self.diffusion.ddpm_sample(
             x_T,
@@ -325,6 +330,11 @@ class VQVAE(DiffusionModel):
         if sampler == "ddim":
             return self.diffusion.ddim_sample(
                 x_T, pred_fn, steps=steps, rng=rng, eta=eta,
+                constrain=constrain, **kwargs
+            )
+        if sampler == "dpmpp":
+            return self.diffusion.dpmpp_sample(
+                x_T, pred_fn, steps=steps, rng=rng,
                 constrain=constrain, **kwargs
             )
         assert sampler == "ddpm", f"unknown sampler {sampler!r}"
