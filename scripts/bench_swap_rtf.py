@@ -63,6 +63,8 @@ def main():
     for label, steps, sampler in (
         ("50-step DDPM swap", 50, "ddpm"),
         ("10-step DDIM swap", 10, "ddim"),
+        ("10-step DPM++ swap", 10, "dpmpp"),
+        ("5-step DPM++ swap", 5, "dpmpp"),
     ):
         swap = make_swap(steps, sampler)
         np.asarray(swap(variables, audio, labels, jax.random.key(1)))  # warm
