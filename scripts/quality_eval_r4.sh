@@ -43,9 +43,9 @@ fi
 
 # [2] dataset stats at the 10k scale.
 if [ ! -f "$R/stats_data10k.npz" ]; then
-  echo "=== dataset stats (tones, n=$N) ==="
+  echo "=== dataset stats (tones:3334, n=$N) ==="
   python stat_generate.py --checkpoint-path "$R/clf/model.npz" \
-    --data-dir tones --num-samples "$N" "$R/stats_data10k.npz"
+    --data-dir tones:3334 --num-samples "$N" "$R/stats_data10k.npz"
 fi
 
 # [3] arms. Keeps the wav dir until the stats exist (for resume), then
