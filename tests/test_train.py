@@ -342,6 +342,27 @@ def test_diffusion_train_loop_async_save(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_diffusion_train_loop_async_save_device_snapshot(
+    tmp_path, monkeypatch
+):
+    """--async-snapshot device: the on-chip snapshot path (worker overlaps
+    the D2H too) still produces loadable checkpoints + the sentinel. The
+    host default exists because this mode holds a full extra state replica
+    in HBM (measured OOM at the flagship batch — PERF.md round 4)."""
+    _patch_loader(monkeypatch)
+    args = _diffusion_args(
+        tmp_path, extra=("--async-save", "--async-snapshot", "device")
+    )
+    loop = DiffusionTrainLoop(args)
+    loop.loop(max_steps=2)
+    assert os.path.exists(os.path.join(tmp_path, "model.npz"))
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    assert "# saved" in log
+    loop2 = DiffusionTrainLoop(args)
+    assert loop2.resume and loop2.logger.start_step == 2
+
+
+@pytest.mark.slow
 def test_train_loop_orbax_async_save(tmp_path, monkeypatch):
     """--async-save + --checkpoint-format orbax (single-process): the save
     runs on the worker thread (two-phase '# saving @ N' marker + '# saved'

@@ -474,16 +474,38 @@ class TrainLoop(ABC):
         if not self.is_primary:
             return  # only host 0 persists
         if getattr(self.args, "async_save", False):
-            # Snapshot on-device (cheap copy) so the NEXT train step's
-            # donation cannot invalidate the buffers mid-fetch, then fetch
-            # + write on a worker thread, overlapping device compute. The
-            # step-ordered '# saving @ N' marker goes in NOW; the worker's
-            # '# saved' confirmation may land lines later (resume truncates
-            # back to the marker — observe/logger.py).
-            parts = jax.tree.map(
-                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
-                parts,
-            )
+            # Snapshot so the NEXT train step's donation cannot invalidate
+            # the buffers mid-write, then write on a worker thread,
+            # overlapping device compute. The step-ordered '# saving @ N'
+            # marker goes in NOW; the worker's '# saved' confirmation may
+            # land lines later (resume truncates back to the marker —
+            # observe/logger.py).
+            #
+            # Two snapshot placements (--async-snapshot):
+            # - host (default): async-enqueue every D2H, then block until
+            #   the copies land in host RAM. Costs the transfer time in
+            #   the loop (the sync path pays the same D2H) but zero extra
+            #   HBM; the worker hides serialization + disk I/O.
+            # - device: jnp.copy keeps the snapshot on-chip and the worker
+            #   overlaps the D2H too — but holds a FULL extra replica of
+            #   params+EMAs+opt_state in HBM until the write finishes.
+            #   Measured (PERF.md round 4): OOMs the flagship batch-16
+            #   train on one v5e chip; use only with HBM headroom.
+            if getattr(self.args, "async_snapshot", "host") == "device":
+                parts = jax.tree.map(
+                    lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                    parts,
+                )
+            else:
+                for leaf in jax.tree.leaves(parts):
+                    if isinstance(leaf, jax.Array):
+                        leaf.copy_to_host_async()
+                parts = jax.tree.map(
+                    lambda x: (
+                        np.asarray(x) if isinstance(x, jax.Array) else x
+                    ),
+                    parts,
+                )
             self.finish_pending_save()  # one save in flight; raises if the
             # previous save failed — a silently dead worker would leave the
             # run checkpoint-less for its remaining lifetime.
@@ -659,9 +681,16 @@ class TrainLoop(ABC):
                                  "on single-host runs; multi-host orbax "
                                  "saves stay synchronous")
         parser.add_argument("--async-save", action="store_true",
-                            help="write checkpoints from a worker thread "
-                                 "(device-side snapshot first), overlapping "
-                                 "save I/O with training")
+                            help="write checkpoints from a worker thread, "
+                                 "overlapping save I/O with training")
+        parser.add_argument("--async-snapshot", default="host", type=str,
+                            choices=("host", "device"),
+                            help="where --async-save snapshots the state "
+                                 "before the worker writes it: host (zero "
+                                 "extra HBM; loop blocks only for the D2H) "
+                                 "or device (worker overlaps the D2H too, "
+                                 "but a full extra state replica lives in "
+                                 "HBM until the write completes)")
         parser.add_argument("--max-steps", default=None, type=int,
                             help="stop after this many steps (default: run "
                                  "until killed, as the reference does)")
