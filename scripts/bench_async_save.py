@@ -55,16 +55,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--save-interval", type=int, default=5)
+    ap.add_argument("--only", type=str, default=None,
+                    help="run only configs whose label contains this "
+                         "substring")
     args = ap.parse_args()
 
     configs = [
         ("no saves (baseline)", ["--save-interval", str(10 * args.steps)]),
         ("npz sync", []),
-        ("npz async", ["--async-save"]),
+        ("npz async host-snap", ["--async-save"]),
         ("orbax sync", ["--checkpoint-format", "orbax"]),
-        ("orbax async", ["--checkpoint-format", "orbax", "--async-save"]),
+        ("orbax async host-snap",
+         ["--checkpoint-format", "orbax", "--async-save"]),
     ]
     for label, extra in configs:
+        if args.only and args.only not in label:
+            continue
         run_config(label, extra, args.steps, args.save_interval)
 
 
