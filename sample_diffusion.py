@@ -34,7 +34,9 @@ def main():
     warp = make_warp(args.schedule)
 
     model, variables = DiffusionModel.load(
-        args.checkpoint_path, dtype="bfloat16" if args.bf16 else None
+        args.checkpoint_path,
+        dtype="bfloat16" if args.bf16 else None,
+        act_int8_min_t=args.act_int8 or None,
     )
 
     classifier = None
@@ -208,6 +210,12 @@ def arg_parser():
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="compute in bfloat16 (params stay float32)")
+    parser.add_argument("--act-int8", default=0, type=int, metavar="MIN_T",
+                        help="serve with int8-stored activations at UNet "
+                             "levels whose time axis is >= MIN_T (0 = off; "
+                             "e.g. 16000 quantizes the top three levels of "
+                             "a 4-s 16 kHz clip). Quality-gated by the 10k "
+                             "Frechet protocol — see PERF.md round 4")
     parser.add_argument("--tensor-parallel", default=1, type=int,
                         help="model-axis size of a 2-D data x model mesh; "
                              "shards the weights over chips")

@@ -68,7 +68,9 @@ def main():
     )
 
     print("loading model from checkpoint...")
-    model, variables = VQVAE.load(args.checkpoint_path)
+    model, variables = VQVAE.load(
+        args.checkpoint_path, act_int8_min_t=args.act_int8 or None
+    )
     # Both bounds: embedding lookups clamp inside jit, so a negative label
     # would silently convert to speaker 0. Unconditional models
     # (num_labels=None) ignore the label entirely.
@@ -132,6 +134,10 @@ def arg_parser():
                              "second-order")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic)")
+    parser.add_argument("--act-int8", default=0, type=int, metavar="MIN_T",
+                        help="serve the decoder with int8-stored "
+                             "activations at UNet levels with T >= MIN_T "
+                             "(0 = off); see PERF.md round 4")
     parser.add_argument("--tensor-parallel", default=1, type=int,
                         help="model-axis size of a 2-D data x model mesh; "
                              "shards the weights over chips")

@@ -33,22 +33,30 @@ BATCH = 16
 REPEATS = 3
 
 
-def main():
-    model = VQVAE(
+def make_model(act_int8_min_t=0):
+    return VQVAE(
         pred_name="unet",
         base_channels=64,
         enc_name="conv-mfcc-ulaw",
         dictionary_size=512,
         num_labels=251,  # LibriSpeech train-clean-100 speaker count
         dtype="bfloat16",
+        act_int8_min_t=act_int8_min_t,
     )
-    variables = model.init_variables(jax.random.key(0), seq_len=SAMPLE_LEN)
+
+
+def main():
+    variables = make_model().init_variables(
+        jax.random.key(0), seq_len=SAMPLE_LEN
+    )
 
     rng0 = np.random.RandomState(0)
     audio = jnp.asarray(rng0.randn(BATCH, SAMPLE_LEN, 1) * 0.1, jnp.float32)
     labels = jnp.asarray(rng0.randint(0, 251, BATCH), jnp.int32)
 
-    def make_swap(steps, sampler, eta=0.0):
+    def make_swap(steps, sampler, eta=0.0, act_int8_min_t=0):
+        model = make_model(act_int8_min_t)
+
         @jax.jit
         def swap(variables, audio, labels, rng):
             codes = model.encode(variables, audio)
@@ -60,13 +68,17 @@ def main():
 
         return swap
 
-    for label, steps, sampler in (
-        ("50-step DDPM swap", 50, "ddpm"),
-        ("10-step DDIM swap", 10, "ddim"),
-        ("10-step DPM++ swap", 10, "dpmpp"),
-        ("5-step DPM++ swap", 5, "dpmpp"),
+    for label, steps, sampler, min_t in (
+        ("50-step DDPM swap", 50, "ddpm", 0),
+        ("10-step DDIM swap", 10, "ddim", 0),
+        ("10-step DPM++ swap", 10, "dpmpp", 0),
+        ("5-step DPM++ swap", 5, "dpmpp", 0),
+        # int8-stored activations at the top three UNet levels
+        # (ops/qact.py; quality arms: queue step 62).
+        ("50-step DDPM int8 swap", 50, "ddpm", 16000),
+        ("5-step DPM++ int8 swap", 5, "dpmpp", 16000),
     ):
-        swap = make_swap(steps, sampler)
+        swap = make_swap(steps, sampler, act_int8_min_t=min_t)
         np.asarray(swap(variables, audio, labels, jax.random.key(1)))  # warm
         times = []
         for i in range(REPEATS):

@@ -12,12 +12,12 @@ SCRIPTS_WITH_PARSERS = {
         "--checkpoint-path", "--sample-steps", "--batch-size", "--constrain",
         "--sample-path", "--num-samples", "--classifier-path",
         "--classifier-scale", "--target-class", "--schedule", "--encoding",
-        "--tensor-parallel",
+        "--tensor-parallel", "--act-int8",
     ],
     "sample_vqvae": [
         "--sample-rate", "--sample-steps", "--seconds", "--label",
         "--input-file", "--encoding", "--enc-pred-path", "--enc-pred-scale",
-        "--no-vq", "--check-vq", "--tensor-parallel",
+        "--no-vq", "--check-vq", "--tensor-parallel", "--act-int8",
     ],
     "sample_vqvae_uncond": [
         "--schedule", "--guide-label-scale", "--guide-vq-scale", "--no-vq",

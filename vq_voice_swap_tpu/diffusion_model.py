@@ -85,6 +85,7 @@ class DiffusionModel(ModelBase):
         dropout: float = 0.0,
         dtype: Optional[str] = None,
         remat: Union[bool, str] = False,
+        act_int8_min_t: int = 0,
     ):
         self.pred_name = pred_name
         self.base_channels = base_channels
@@ -94,6 +95,7 @@ class DiffusionModel(ModelBase):
         self.dropout = dropout
         self.dtype_name = dtype
         self.remat = remat
+        self.act_int8_min_t = act_int8_min_t
         compute_dtype = jnp.dtype(dtype) if dtype else None
 
         self.predictor = make_predictor(
@@ -104,6 +106,7 @@ class DiffusionModel(ModelBase):
             dropout=dropout,
             dtype=compute_dtype,
             remat=remat,
+            act_int8_min_t=act_int8_min_t,
         )
         self.diffusion = Diffusion(make_schedule(schedule_name))
 
@@ -119,6 +122,7 @@ class DiffusionModel(ModelBase):
             dropout=self.dropout,
             dtype=self.dtype_name,
             remat=self.remat,
+            act_int8_min_t=self.act_int8_min_t,
         )
 
     @property

@@ -138,7 +138,10 @@ class ModelBase:
 
     @classmethod
     def load(
-        cls, path: str, dtype: Optional[str] = None
+        cls,
+        path: str,
+        dtype: Optional[str] = None,
+        act_int8_min_t: Optional[int] = None,
     ) -> Tuple["ModelBase", Dict[str, Any]]:
         """Load from a checkpoint; the class is taken from the manifest but
         must be cls or a subclass when called on a concrete class.
@@ -146,6 +149,9 @@ class ModelBase:
         Reference PyTorch .pt checkpoints are converted transparently.
         ``dtype`` overrides the compute dtype the checkpoint was saved with
         (params stay float32) — e.g. "bfloat16" for serving.
+        ``act_int8_min_t`` overrides int8 activation storage (ops/qact.py):
+        levels with T >= the value serve with int8-stored activations; 0
+        forces it off. Serving-only, like ``dtype``.
         """
         class_name, kwargs, variables, _ = _load_any_checkpoint(path)
         _ensure_registered()
@@ -158,6 +164,8 @@ class ModelBase:
             )
         if dtype is not None:
             kwargs = {**kwargs, "dtype": dtype}
+        if act_int8_min_t is not None:
+            kwargs = {**kwargs, "act_int8_min_t": act_int8_min_t}
         return model_cls(**kwargs), variables
 
     def load_from_pretrained(

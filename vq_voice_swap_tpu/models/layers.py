@@ -11,12 +11,22 @@ Capability parity sources (cited per block):
 """
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
+
+from ..ops.qact import (
+    QAct,
+    conv1d_int8,
+    dequantize,
+    qact_avg_pool,
+    qact_group_norm,
+    qact_upsample,
+    quantize,
+)
 
 __all__ = [
     "TimeEmbedding",
@@ -79,7 +89,23 @@ class Conv1d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: Union[jnp.ndarray, QAct]) -> jnp.ndarray:
+        if isinstance(x, QAct):
+            # int8-stored serving path (ops/qact.py): same param tree as
+            # the nn.Conv branch — _ConvParams mirrors its names/shapes —
+            # so trained checkpoints serve through either branch.
+            kernel, bias = _ConvParams(
+                kernel_shape=(self.kernel_size, x.q.shape[-1], self.features),
+                features=self.features,
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init,
+                bias_init=self.bias_init,
+                name="conv",
+            )()
+            return conv1d_int8(
+                x, kernel, bias,
+                stride=self.stride, dilation=self.dilation, dtype=self.dtype,
+            )
         pad = (self.kernel_size - 1) * self.dilation // 2
         return nn.Conv(
             features=self.features,
@@ -93,6 +119,27 @@ class Conv1d(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+
+
+class _ConvParams(nn.Module):
+    """Owns a convolution's kernel/bias with nn.Conv-compatible paths, for
+    execution paths that bypass nn.Conv (the int8 serving branch)."""
+
+    kernel_shape: Tuple[int, int, int]  # (K, C_in, C_out)
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, self.kernel_shape)
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 class _NormParams(nn.Module):
@@ -128,13 +175,24 @@ class GroupNorm(nn.Module):
     use_gelu: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: Union[jnp.ndarray, QAct]) -> jnp.ndarray:
         from ..ops.fused_norm import (
             fused_norm_enabled,
             fused_group_norm,
             matmul_norm_enabled,
             matmul_group_norm,
         )
+
+        if isinstance(x, QAct):
+            # int8-stored serving path: stats + normalize read the int8
+            # payload (1 B/elem) and dequantize in-register (ops/qact.py).
+            ch = x.q.shape[-1]
+            groups = adaptive_group_count(ch, self.max_groups)
+            scale, bias = _NormParams(ch, name="norm")()
+            return qact_group_norm(
+                x, scale, bias, groups, self.epsilon, self.use_gelu,
+                self.dtype,
+            )
 
         ch = x.shape[-1]
         groups = adaptive_group_count(ch, self.max_groups)
@@ -238,6 +296,12 @@ class ResBlock(nn.Module):
     zero-init]; skip path resizes and 1x1-projects when channels change.
 
     scale_factor 1.0 = identity, 0.5 = avg-pool x2 down, 2.0 = nearest x2 up.
+
+    ``act_int8_min_t`` > 0 enables int8 activation storage (ops/qact.py)
+    for tensors whose T axis is at least that long: conv inputs are
+    quantized, convs run int8 x int8 -> int32 on the MXU, and the block
+    output is returned as a QAct for the next block / skip store. A
+    serving-only knob — quality-gated by the 10k Frechet protocol.
     """
 
     out_channels: Optional[int] = None
@@ -246,32 +310,48 @@ class ResBlock(nn.Module):
     dilation: int = 2
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
+    act_int8_min_t: int = 0
 
-    def _resize(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _resize(
+        self, x: Union[jnp.ndarray, QAct]
+    ) -> Union[jnp.ndarray, QAct]:
         if self.scale_factor == 1.0:
             return x
         if self.scale_factor < 1.0:
             factor = int(round(1.0 / self.scale_factor))
             assert abs(1.0 / factor - self.scale_factor) < 1e-5
+            if isinstance(x, QAct):
+                return qact_avg_pool(x, factor)
             return avg_pool_1d(x, factor)
         factor = int(round(self.scale_factor))
         assert abs(float(factor) - self.scale_factor) < 1e-5
+        if isinstance(x, QAct):
+            return qact_upsample(x, factor)
         return nearest_upsample_1d(x, factor)
+
+    def _maybe_quantize(
+        self, h: jnp.ndarray
+    ) -> Union[jnp.ndarray, QAct]:
+        if self.act_int8_min_t and h.shape[1] >= self.act_int8_min_t:
+            return quantize(h)
+        return h
 
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        x: Union[jnp.ndarray, QAct],
         emb: Optional[jnp.ndarray] = None,
         train: bool = False,
-    ) -> jnp.ndarray:
-        in_ch = x.shape[-1]
+    ) -> Union[jnp.ndarray, QAct]:
+        in_ch = (x.q if isinstance(x, QAct) else x).shape[-1]
         out_ch = self.out_channels or in_ch
         assert (emb is not None) == self.use_emb
 
         h = GroupNorm(dtype=self.dtype, use_gelu=True, name="norm_in")(x)
         h = self._resize(h)
-        h = Conv1d(out_ch, 3, dtype=self.dtype, name="conv_in")(h)
+        h = Conv1d(out_ch, 3, dtype=self.dtype, name="conv_in")(
+            self._maybe_quantize(h)
+        )
         # Tag for the "convs" remat policy (unet.py): save this conv output
         # across the fwd/bwd boundary and recompute the cheap
         # norm/GELU/FiLM chains from it. Identity outside a policy remat.
@@ -300,9 +380,12 @@ class ResBlock(nn.Module):
             kernel_init=scaled_init(nn.initializers.lecun_normal(), 0.0),
             dtype=self.dtype,
             name="conv_out",
-        )(h)
+        )(self._maybe_quantize(h))
 
         skip = self._resize(x)
         if in_ch != out_ch:
             skip = Conv1d(out_ch, 1, dtype=self.dtype, name="skip_proj")(skip)
-        return skip + h
+        if isinstance(skip, QAct):
+            skip = dequantize(skip, h.dtype)
+        out = skip + h
+        return self._maybe_quantize(out)

@@ -24,10 +24,15 @@ def make_predictor(
     dropout: float = 0.0,
     dtype: Optional[Any] = None,
     remat: Union[bool, str] = False,
+    act_int8_min_t: int = 0,
 ) -> nn.Module:
     """Create an epsilon-predictor module from a human-readable name."""
     if pred_name == "wavegrad":
         assert not dropout, "dropout not supported for wavegrad"
+        assert not act_int8_min_t, (
+            "int8 activation storage is implemented for the unet "
+            "predictor only"
+        )
         if cond_channels:
             # Fail fast: silently flooring would build a predictor whose
             # cond convolution expects FEWER channels than the caller's
@@ -51,6 +56,7 @@ def make_predictor(
             dropout=dropout,
             dtype=dtype,
             remat=remat,
+            act_int8_min_t=act_int8_min_t,
         )
     raise ValueError(f"unknown predictor: {pred_name}")
 
@@ -61,9 +67,13 @@ def make_encoder(
     cond_mult: int = 16,
     dtype: Optional[Any] = None,
     remat: Union[bool, str] = False,
+    act_int8_min_t: int = 0,
 ) -> nn.Module:
     """Create an encoder module from a human-readable name."""
     out_channels = base_channels * cond_mult
+    assert not (act_int8_min_t and not enc_name.startswith("unet")), (
+        "int8 activation storage is implemented for the unet encoders only"
+    )
     if enc_name == "wavegrad":
         return WaveGradEncoder(
             base_channels=base_channels, cond_mult=cond_mult, dtype=dtype
@@ -71,7 +81,7 @@ def make_encoder(
     elif enc_name == "unet":
         return UNetEncoder(
             base_channels=base_channels, out_channels=out_channels,
-            dtype=dtype, remat=remat,
+            dtype=dtype, remat=remat, act_int8_min_t=act_int8_min_t,
         )
     elif enc_name == "unet128":
         return UNetEncoder(
@@ -80,6 +90,7 @@ def make_encoder(
             out_channels=out_channels,
             dtype=dtype,
             remat=remat,
+            act_int8_min_t=act_int8_min_t,
         )
     elif enc_name == "unet128-dilated":
         return UNetEncoder(
@@ -89,6 +100,7 @@ def make_encoder(
             out_channels=out_channels,
             dtype=dtype,
             remat=remat,
+            act_int8_min_t=act_int8_min_t,
         )
     elif enc_name == "conv-mfcc-ulaw":
         return ConvMFCCEncoder(

@@ -13,12 +13,14 @@ torch.utils.checkpoint, and an optional bfloat16 compute dtype with float32
 params.
 """
 
+import functools
 from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.qact import QAct, qact_concat, quantize
 from .layers import (
     Conv1d,
     GroupNorm,
@@ -80,6 +82,11 @@ class UNetPredictor(nn.Module):
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
     remat: Union[bool, str] = False  # False | True/"full" | "convs"
+    # int8 activation storage at levels with T >= this (0 = off). A
+    # serving-only numerics knob (ops/qact.py; rent-checked at 1.42x on
+    # the full-res GN->GELU->conv chain, PERF.md round 4); incompatible
+    # with train=True.
+    act_int8_min_t: int = 0
 
     @property
     def downsample_rate(self) -> int:
@@ -99,7 +106,9 @@ class UNetPredictor(nn.Module):
 
         self.in_conv = Conv1d(ch, 3, dtype=self.dtype)
 
-        block = _remat_block(self.remat)
+        block = functools.partial(
+            _remat_block(self.remat), act_int8_min_t=self.act_int8_min_t
+        )
 
         down = []
         cur = ch
@@ -169,6 +178,9 @@ class UNetPredictor(nn.Module):
         assert (cond is None) == (
             self.cond_channels is None
         ), "must provide cond sequence iff model is conditional"
+        assert not (self.act_int8_min_t and train), (
+            "int8 activation storage is a serving-only knob"
+        )
 
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -181,6 +193,8 @@ class UNetPredictor(nn.Module):
         if cond is not None:
             c = self.cond_proj(cond.astype(h.dtype))
             h = h + nearest_resize_1d(c, h.shape[1])
+        if self.act_int8_min_t and h.shape[1] >= self.act_int8_min_t:
+            h = quantize(h)
 
         skips = [h]
         for b in self.down_blocks:
@@ -191,7 +205,14 @@ class UNetPredictor(nn.Module):
         for i, b in enumerate(self.up_blocks):
             # Upsampling blocks (every depth_mult+2-th) take no skip concat.
             if i % (self.depth_mult + 2) != self.depth_mult + 1:
-                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                s = skips.pop()
+                if isinstance(h, QAct) or isinstance(s, QAct):
+                    # The T threshold decides quantization, and concat
+                    # partners always share T — both sides or neither.
+                    assert isinstance(h, QAct) and isinstance(s, QAct)
+                    h = qact_concat(h, s)
+                else:
+                    h = jnp.concatenate([h, s], axis=-1)
             h = b(h, emb, train)
 
         h = self.out_norm(h)
@@ -211,6 +232,7 @@ class UNetEncoder(nn.Module):
     out_channels: int = 512
     dtype: Optional[Dtype] = None
     remat: Union[bool, str] = False  # False | True/"full" | "convs"
+    act_int8_min_t: int = 0  # see UNetPredictor
 
     @property
     def downsample_rate(self) -> int:
@@ -218,7 +240,9 @@ class UNetEncoder(nn.Module):
 
     def setup(self):
         ch = self.base_channels
-        block = _remat_block(self.remat)
+        block = functools.partial(
+            _remat_block(self.remat), act_int8_min_t=self.act_int8_min_t
+        )
 
         self.in_conv = Conv1d(ch, 3, dtype=self.dtype)
         blocks = []
@@ -235,9 +259,14 @@ class UNetEncoder(nn.Module):
         self.out_conv = Conv1d(self.out_channels, 3, dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert not (self.act_int8_min_t and train), (
+            "int8 activation storage is a serving-only knob"
+        )
         if self.dtype is not None:
             x = x.astype(self.dtype)
         h = self.in_conv(x)
+        if self.act_int8_min_t and h.shape[1] >= self.act_int8_min_t:
+            h = quantize(h)
         for b in self.blocks:
             h = b(h, None, train)
         h = self.out_norm(h)
