@@ -26,7 +26,9 @@ def main():
     )
 
     print("loading model from checkpoint...")
-    model, variables = VQVAE.load(args.checkpoint_path)
+    model, variables = VQVAE.load(
+        args.checkpoint_path, act_int8_min_t=args.act_int8 or None
+    )
     # Both bounds: label -1 would hit the reserved unconditional token
     # (labels shift by +1 inside decode_uncond_guidance) and other
     # negatives clamp to speaker 0 inside jit — all silently.
@@ -108,6 +110,10 @@ def arg_parser():
                         help="DDIM stochasticity (0 = deterministic)")
     parser.add_argument("--no-vq", action="store_true")
     parser.add_argument("--check-vq", action="store_true")
+    parser.add_argument("--act-int8", default=0, type=int, metavar="MIN_T",
+                        help="serve the decoder with int8-stored "
+                             "activations at UNet levels with T >= MIN_T "
+                             "(0 = off); see PERF.md round 4")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tensor-parallel", default=1, type=int,
                         help="model-axis size of a 2-D data x model mesh; "

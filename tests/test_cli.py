@@ -21,6 +21,7 @@ SCRIPTS_WITH_PARSERS = {
     ],
     "sample_vqvae_uncond": [
         "--schedule", "--guide-label-scale", "--guide-vq-scale", "--no-vq",
+        "--act-int8",
         "--check-vq", "--tensor-parallel",
     ],
     "eval_diffusion": ["--batch-size"],

@@ -213,6 +213,32 @@ def test_int8_rejects_training_and_wavegrad():
         make_predictor("wavegrad", base_channels=8, act_int8_min_t=16)
 
 
+def test_unet_int8_under_data_parallel_mesh():
+    """The serving knob must compose with the DP serving mesh: the global
+    amax in quantize() becomes a cross-device collective under batch
+    sharding, and the result must match the unsharded forward exactly."""
+    from vq_voice_swap_tpu.parallel import (
+        batch_sharding,
+        create_mesh,
+        replicate,
+    )
+
+    model = UNetPredictor(base_channels=8, channel_mult=(1, 2),
+                          depth_mult=1, act_int8_min_t=32)
+    x = jax.random.normal(jax.random.key(20), (8, 128, 1))
+    ts = jnp.linspace(0.1, 0.9, 8)
+    v = model.init(jax.random.key(21), x, ts)
+    v = {"params": _randomize(v["params"], jax.random.key(22))}
+    want = np.asarray(jax.jit(model.apply)(v, x, ts))
+
+    mesh = create_mesh()
+    vs = replicate(mesh, v)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    tss = jax.device_put(ts, batch_sharding(mesh))
+    got = np.asarray(jax.jit(model.apply)(vs, xs, tss))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_diffusion_model_act_int8_save_load_and_override(tmp_path):
     model = DiffusionModel(pred_name="unet", base_channels=8,
                            act_int8_min_t=128)
