@@ -50,7 +50,7 @@ def main():
                         help="target speaker id")
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=("ddpm", "ddim"))
+                        choices=("ddpm", "ddim", "dpmpp"))
     parser.add_argument("--eta", type=float, default=0.0)
     parser.add_argument("--encoding", type=str, default="linear")
     parser.add_argument("--seed", type=int, default=0)

@@ -52,6 +52,16 @@ wait_for_backend() {
   done
 }
 
+# Content-addressed done markers: the marker name embeds a hash of the
+# step script, so EDITING a step automatically re-runs it (round-3
+# failure mode: a stale bare-name marker silently skipped a re-queued
+# bench). Legacy bare-name markers from rounds <= 4 are still honored
+# for unchanged scripts via the explicit migration below.
+marker_name() { # script-path -> marker name
+  local f="$1"
+  echo "$(basename "$f" .sh).$(sha1sum "$f" | cut -c1-10)"
+}
+
 step() {
   local name="$1"; shift
   if [ -e "runs/queue_done/$name" ]; then
@@ -76,11 +86,22 @@ step() {
 
 # Drain passes: re-glob after each pass so drop-ins added mid-drain run
 # without a relaunch; stop when a pass finds nothing left to do.
+# One-time migration: a legacy bare-name marker means the CURRENT text of
+# that step already ran to completion in a previous round — re-stamp it
+# with the current hash so only future EDITS re-run it.
+for f in scripts/queue.d/*.sh; do
+  [ -e "$f" ] || continue
+  bare="runs/queue_done/$(basename "$f" .sh)"
+  if [ -e "$bare" ] && [ ! -e "runs/queue_done/$(marker_name "$f")" ]; then
+    mv "$bare" "runs/queue_done/$(marker_name "$f")"
+  fi
+done
+
 while :; do
   ran_any=0
   for f in scripts/queue.d/*.sh; do
     [ -e "$f" ] || continue
-    name=$(basename "$f" .sh)
+    name=$(marker_name "$f")
     if [ ! -e "runs/queue_done/$name" ]; then
       fails=0
       [ -f "runs/queue_done/$name.fails" ] && fails=$(cat "runs/queue_done/$name.fails")

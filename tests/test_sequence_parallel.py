@@ -363,6 +363,26 @@ def test_seq_parallel_ddpm_sample_matches_unsharded():
     )
     np.testing.assert_allclose(got_ddim, want_ddim, atol=5e-5, rtol=5e-5)
 
+    # DPM-Solver++(2M) dispatch — the few-step serving sampler must reach
+    # the long-audio path too (its multistep update is elementwise in x/x0,
+    # so it partitions exactly like ddpm/ddim).
+    from vq_voice_swap_tpu.parallel.sequence import seq_parallel_sample
+
+    want_dpmpp = np.asarray(
+        diffusion.dpmpp_sample(
+            x_T,
+            lambda xs, tt: pred.apply(variables, xs, tt),
+            steps=4,
+        )
+    )
+    got_dpmpp = np.asarray(
+        seq_parallel_sample(
+            mesh, diffusion, pred, variables["params"],
+            _sharded(mesh, x_T), steps=4, rng=None, sampler="dpmpp",
+        )
+    )
+    np.testing.assert_allclose(got_dpmpp, want_dpmpp, atol=5e-5, rtol=5e-5)
+
 
 @pytest.mark.slow
 def test_seq_parallel_vqvae_convert_matches_unsharded():

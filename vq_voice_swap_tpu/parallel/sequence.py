@@ -41,6 +41,7 @@ __all__ = [
     "seq_parallel_wavegrad_predictor",
     "seq_parallel_predictor",
     "seq_parallel_ddpm_sample",
+    "seq_parallel_sample",
     "seq_parallel_ddpm_losses",
     "make_seq_parallel_train_step",
 ]
@@ -578,7 +579,7 @@ def seq_parallel_predictor(mesh, predictor, params, x, ts, cond=None,
     )
 
 
-def seq_parallel_ddpm_sample(
+def seq_parallel_sample(
     mesh,
     diffusion,
     predictor,
@@ -592,14 +593,16 @@ def seq_parallel_ddpm_sample(
     eta=0.0,
     **kwargs,
 ):
-    """diffusion.ddpm_sample (or ddim_sample) with the T-sharded UNet
-    predictor.
+    """diffusion.{ddpm,ddim,dpmpp}_sample with the T-sharded predictor.
 
     x_T: [N, T, 1] sharded P(None, SEQ_AXIS, None). The reverse-process
-    arithmetic (posterior mean/sigma, noise add) is elementwise, so it
-    partitions trivially; only the predictor communicates (halos + GN
-    psums). Returns the sampled x_0 with the same sharding. Works with
-    both UNet and WaveGrad predictors (seq_parallel_predictor dispatch).
+    arithmetic of all three samplers — DDPM's posterior mean/sigma and
+    noise add, DDIM's x0/eps recombination, DPM++(2M)'s multistep update
+    in x/x0 (diffusion/process.py:280-371) — is elementwise in the time
+    axis, so it partitions trivially; only the predictor communicates
+    (halos + GN psums). Returns the sampled x_0 with the same sharding.
+    Works with both UNet and WaveGrad predictors (seq_parallel_predictor
+    dispatch).
     """
     pred_fn = lambda xs, ts: seq_parallel_predictor(  # noqa: E731
         mesh, predictor, params, xs, ts, cond=cond, labels=labels
@@ -608,10 +611,19 @@ def seq_parallel_ddpm_sample(
         return diffusion.ddim_sample(
             x_T, pred_fn, steps=steps, rng=rng, eta=eta, **kwargs
         )
+    if sampler == "dpmpp":
+        return diffusion.dpmpp_sample(
+            x_T, pred_fn, steps=steps, rng=rng, **kwargs
+        )
     assert sampler == "ddpm", f"unknown sampler {sampler!r}"
     return diffusion.ddpm_sample(
         x_T, pred_fn, steps=steps, rng=rng, **kwargs
     )
+
+
+# Backwards-compatible alias: the function predates the ddim/dpmpp
+# dispatch and was named after its original single sampler.
+seq_parallel_ddpm_sample = seq_parallel_sample
 
 
 def seq_parallel_vqvae_convert(
@@ -667,7 +679,7 @@ def seq_parallel_vqvae_convert(
     )
     x_T = jax.device_put(x_T, NamedSharding(mesh, P(None, SEQ_AXIS, None)))
 
-    return seq_parallel_ddpm_sample(
+    return seq_parallel_sample(
         mesh,
         model.diffusion,
         model.predictor,
@@ -689,7 +701,7 @@ def seq_parallel_ddpm_losses(
     x: [N, T, C] sharded P(None, SEQ_AXIS, None). The q-sampling noise is
     elementwise (partitions trivially; jax_threefry_partitionable keeps the
     draw layout-invariant), so only the predictor communicates. This is the
-    TRAINING counterpart of seq_parallel_ddpm_sample — clips longer than
+    TRAINING counterpart of seq_parallel_sample — clips longer than
     one chip's HBM can be trained on by sharding time, not just converted.
     """
     pred_fn = lambda xs, ts: seq_parallel_predictor(  # noqa: E731
