@@ -419,3 +419,88 @@ def test_train_loop_orbax_checkpoint_format(tmp_path, monkeypatch):
     loop2.loop(max_steps=1)
     log = open(os.path.join(tmp_path, "train_log.txt")).read()
     assert "step 3:" in log
+
+
+def _flat_params(path):
+    model, variables = ModelBase.load(path)
+    flat = {}
+
+    def rec(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                rec(f"{prefix}/{k}", v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    rec("", variables["params"])
+    return flat
+
+
+@pytest.mark.slow
+def test_steps_per_dispatch_matches_single_step(tmp_path, monkeypatch):
+    """--steps-per-dispatch K: the K-step lax.scan dispatch trains the same
+    trajectory as K sequential single-step dispatches (same rng stream, same
+    batch order), including a non-divisible max_steps tail and the
+    boundary-aligned save."""
+    _patch_loader(monkeypatch)
+
+    ref_dir = tmp_path / "k1"
+    loop1 = DiffusionTrainLoop(_diffusion_args(ref_dir))
+    loop1.loop(max_steps=5)
+
+    multi_dir = tmp_path / "k2"
+    loop2 = DiffusionTrainLoop(
+        _diffusion_args(multi_dir, extra=("--steps-per-dispatch", "2"))
+    )
+    assert loop2.steps_per_dispatch == 2
+    loop2.loop(max_steps=5)  # 2 windows + 1 single-step tail
+
+    ref = _flat_params(os.path.join(ref_dir, "model.npz"))
+    got = _flat_params(os.path.join(multi_dir, "model.npz"))
+    assert ref.keys() == got.keys()
+    for k in ref:
+        np.testing.assert_allclose(ref[k], got[k], rtol=2e-5, atol=2e-6,
+                                   err_msg=k)
+
+    # EMA trajectory matches too (exercises in-scan EMA updates).
+    ref_e = _flat_params(os.path.join(ref_dir, "model_ema_0.9999.npz"))
+    got_e = _flat_params(os.path.join(multi_dir, "model_ema_0.9999.npz"))
+    for k in ref_e:
+        np.testing.assert_allclose(ref_e[k], got_e[k], rtol=2e-5, atol=2e-6,
+                                   err_msg=k)
+
+    # Per-step log lines still emitted; save landed on the window boundary
+    # covering save_interval=2 (steps 2 and 4).
+    log = open(os.path.join(multi_dir, "train_log.txt")).read()
+    for s in range(1, 6):
+        assert f"step {s}:" in log
+    assert log.count("# saved") >= 2
+
+
+@pytest.mark.slow
+def test_steps_per_dispatch_vqvae_revival(tmp_path, monkeypatch):
+    """VQ usage/revival bookkeeping runs correctly inside the K-step scan."""
+    _patch_loader(monkeypatch)
+    args = VQVAETrainLoop.arg_parser().parse_args(
+        [
+            "--predictor", "wavegrad",
+            "--encoder", "wavegrad",
+            "--base-channels", "2",
+            "--cond-mult", "4",
+            "--dictionary-size", "8",
+            "--dead-rate", "3",
+            "--batch-size", "8",
+            "--save-interval", "4",
+            "--steps-per-dispatch", "2",
+            "--output-dir", str(tmp_path),
+            "tones",
+        ]
+    )
+    loop = VQVAETrainLoop(args)
+    loop.loop(max_steps=4)
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    assert "step 4:" in log and "codebook_used=" in log and "# saved" in log
+    model, variables = ModelBase.load(os.path.join(tmp_path, "model.npz"))
+    usage = np.asarray(variables["buffers"]["vq"]["usage_count"])
+    assert usage.shape == (8,)
+    assert usage.min() >= 0 and usage.max() <= 3

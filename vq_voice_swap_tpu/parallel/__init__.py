@@ -4,6 +4,7 @@ from .mesh import (
     create_mesh,
     global_batch_from_local,
     initialize_multihost,
+    staged_global_batch_from_local,
     replicate,
     replicated_sharding,
     shard_batch,
@@ -33,5 +34,6 @@ __all__ = [
     "shard_batch",
     "shard_state_fsdp",
     "shard_state_tp",
+    "staged_global_batch_from_local",
     "tp_shardings",
 ]

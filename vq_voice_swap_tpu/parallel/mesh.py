@@ -22,6 +22,8 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "global_batch_from_local",
+    "staged_global_batch_from_local",
 ]
 
 DATA_AXIS = "data"
@@ -120,3 +122,27 @@ def global_batch_from_local(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]
         return jax.make_array_from_process_local_data(sharded, x)
 
     return jax.tree.map(put, batch)
+
+
+def staged_global_batch_from_local(mesh: Mesh, batches) -> Dict[str, Any]:
+    """Stack K per-process local batches to [K, ...] staged device arrays.
+
+    The K-steps-per-dispatch train path (train/loops.py --steps-per-dispatch)
+    scans one jitted program over the leading K axis, so the BATCH axis of
+    every array entry moves to axis 1: shardings become P(None, data).
+    Rank-0 entries (curriculum scalars) stack to a replicated [K] vector —
+    the scan slices one scalar per step, matching the single-step program.
+    """
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    staged = NamedSharding(mesh, P(None, DATA_AXIS))
+    replicated = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim <= 1:  # [K] stack of per-step scalars
+            return jax.device_put(x, replicated)
+        if jax.process_count() == 1:
+            return jax.device_put(x, staged)
+        return jax.make_array_from_process_local_data(staged, x)
+
+    return jax.tree.map(put, stacked)

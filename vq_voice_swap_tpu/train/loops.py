@@ -38,13 +38,18 @@ from ..diffusion import Diffusion, make_schedule
 from ..diffusion_model import DiffusionModel
 from ..model_base import ModelBase
 from ..observe import Logger, LossTracker
-from ..parallel import create_mesh, global_batch_from_local, replicate
+from ..parallel import (
+    create_mesh,
+    global_batch_from_local,
+    replicate,
+    staged_global_batch_from_local,
+)
 from ..util import repeat_dataset
 from ..vq import VQLossConfig
 from ..vq_vae import VQVAE
 from .ema import build_rate_tree
 from .state import TrainState, build_optimizer, prefix_predicate
-from .steps import VQUpdateRule, make_train_step
+from .steps import VQUpdateRule, make_multi_train_step, make_train_step
 
 __all__ = [
     "TrainLoop",
@@ -206,6 +211,22 @@ class TrainLoop(ABC):
             micro_remainder=micro_remainder,
             vq_rule=self.vq_update_rule(),
         )
+        self.steps_per_dispatch = max(
+            1, getattr(args, "steps_per_dispatch", 1) or 1
+        )
+        if self.steps_per_dispatch > 1:
+            # K optimizer steps per host dispatch as one lax.scan: amortizes
+            # dispatch/Python/fetch round-trips (the 12% median-vs-max
+            # train-throughput spread measured through the tunnel, PERF.md).
+            self.multi_step = make_multi_train_step(
+                self.build_loss_fn(),
+                self.tx,
+                ema_rate_trees=rate_trees,
+                steps_per_dispatch=self.steps_per_dispatch,
+                microbatches=microbatches,
+                micro_remainder=micro_remainder,
+                vq_rule=self.vq_update_rule(),
+            )
         self.frozen_ctx = self.build_frozen_ctx()
 
         self.write_run_info()
@@ -220,17 +241,72 @@ class TrainLoop(ABC):
         self._pending = []
         self._last_finish = None
         try:
-            for i, batch in enumerate(repeat_dataset(self.data_loader)):
-                if max_steps is not None and i >= max_steps:
-                    break
-                self.total_steps = i + self.logger.start_step
-                self.loop_steps = i
-                self.step(batch)
+            if self.steps_per_dispatch > 1:
+                self._loop_multi(max_steps, self.steps_per_dispatch)
+            else:
+                for i, batch in enumerate(repeat_dataset(self.data_loader)):
+                    if max_steps is not None and i >= max_steps:
+                        break
+                    self.total_steps = i + self.logger.start_step
+                    self.loop_steps = i
+                    self.step(batch)
         finally:
             self._flush_pending()
             self.finish_pending_save()
             if getattr(self.args, "profile_dir", None):
                 jax.profiler.stop_trace()
+
+    def _loop_multi(self, max_steps: Optional[int], k_steps: int):
+        """--steps-per-dispatch driver: gather K host batches, stage them as
+        one [K, ...] device array, and run ONE jitted ``lax.scan`` of K
+        optimizer steps (steps.py::make_multi_train_step) — every host
+        round-trip is amortized over K updates. Step semantics (rng stream,
+        batch order, curriculum scalars) are identical to K single-step
+        dispatches; saves land on dispatch boundaries (the first boundary
+        at/after each configured --save-interval). A max_steps tail that
+        does not divide by K runs through the single-step program."""
+        it = iter(repeat_dataset(self.data_loader))
+        i = 0
+        while max_steps is None or i < max_steps:
+            if max_steps is not None and max_steps - i < k_steps:
+                self.total_steps = i + self.logger.start_step
+                self.loop_steps = i
+                self.step(next(it))
+                i += 1
+                continue
+            batches = []
+            for k in range(k_steps):
+                # prepare_batch hooks read self.total_steps (curriculum).
+                self.total_steps = i + k + self.logger.start_step
+                batches.append(self.prepare_batch(next(it)))
+            self.loop_steps = i
+            self._dispatch_multi(batches, i)
+            i += k_steps
+
+    def _dispatch_multi(self, batches, base_loop_step: int):
+        k_steps = len(batches)
+        start = self.logger.start_step
+        key = jax.random.key(self.rng_seed)
+        # Same per-global-step fold_in stream as the K=1 path.
+        rngs = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+            jnp.arange(base_loop_step + start,
+                       base_loop_step + start + k_steps, dtype=jnp.uint32)
+        )
+        device_batches = staged_global_batch_from_local(self.mesh, batches)
+        dispatched = time.perf_counter()
+        self.state, metrics = self.multi_step(
+            self.state, device_batches, rngs, self.frozen_ctx
+        )
+        depth = max(1, getattr(self.args, "pipeline_depth", 1) or 1)
+        pending = self._pending_queue()
+        pending.append((base_loop_step, k_steps, metrics, dispatched))
+        while len(pending) > depth:
+            self._flush_one()
+        last = base_loop_step + start + k_steps  # 1-based count after window
+        if (last // self.args.save_interval
+                != (last - k_steps) // self.args.save_interval):
+            self._flush_pending()
+            self.save()
 
     def step(self, batch: Dict[str, np.ndarray]):
         """Dispatch one train step; metric fetches lag dispatch by
@@ -252,7 +328,7 @@ class TrainLoop(ABC):
         )
         depth = max(1, getattr(self.args, "pipeline_depth", 1) or 1)
         pending = self._pending_queue()
-        pending.append((self.loop_steps, metrics, dispatched))
+        pending.append((self.loop_steps, 1, metrics, dispatched))
         while len(pending) > depth:
             self._flush_one()
         if (self.total_steps + 1) % self.args.save_interval == 0:
@@ -268,18 +344,33 @@ class TrainLoop(ABC):
         return self._pending
 
     def _flush_one(self):
-        """Fetch + log the metrics of the OLDEST dispatched step (blocks
-        until that step completes on device)."""
-        loop_steps, metrics, dispatched = self._pending.pop(0)
-        metrics = dict(metrics)
-        loss = float(metrics["loss"])  # forces completion
+        """Fetch + log the metrics of the OLDEST dispatched entry (blocks
+        until it completes on device). An entry is one train step (K=1) or
+        one K-step dispatch window whose metrics are stacked [K, ...]; the
+        window logs K per-step lines sharing the dispatch-average rate."""
+        loop_steps, k_steps, metrics, dispatched = self._pending.pop(0)
+        if k_steps == 1:
+            metrics = dict(metrics)
+            loss = float(metrics["loss"])  # forces completion
+            now = time.perf_counter()
+            # Steady state: time between consecutive completions; first step
+            # falls back to dispatch->completion (includes compile).
+            baseline = getattr(self, "_last_finish", None) or dispatched
+            self._last_finish = now
+            metrics["samples_per_sec"] = (
+                self.args.batch_size / (now - baseline)
+            )
+            self.log_metrics(metrics, loss=loss, step=loop_steps + 1)
+            return
+        metrics = jax.device_get(metrics)  # forces completion of the window
         now = time.perf_counter()
-        # Steady state: time between consecutive completions; first step
-        # falls back to dispatch->completion (includes compile).
         baseline = getattr(self, "_last_finish", None) or dispatched
         self._last_finish = now
-        metrics["samples_per_sec"] = self.args.batch_size / (now - baseline)
-        self.log_metrics(metrics, loss=loss, step=loop_steps + 1)
+        rate = self.args.batch_size * k_steps / (now - baseline)
+        for j in range(k_steps):
+            m = dict(jax.tree.map(lambda v: v[j], metrics))
+            m["samples_per_sec"] = rate
+            self.log_metrics(m, step=loop_steps + j + 1)
 
     def _flush_pending(self):
         for _ in range(len(self._pending_queue())):
@@ -661,6 +752,12 @@ class TrainLoop(ABC):
                                  "may lag behind; >1 smooths dispatch "
                                  "jitter (metrics arrive that many steps "
                                  "late)")
+        parser.add_argument("--steps-per-dispatch", default=1, type=int,
+                            help="fuse K optimizer steps into ONE jitted "
+                                 "lax.scan dispatch over K staged batches; "
+                                 "amortizes every host round-trip over K "
+                                 "updates (saves land on K-step "
+                                 "boundaries)")
         parser.add_argument("--tensor-parallel", default=1, type=int,
                             help="model-axis size of a 2-D data x model "
                                  "mesh; weights/optimizer shard on their "

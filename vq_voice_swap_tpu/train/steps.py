@@ -20,7 +20,8 @@ from ..train.ema import ema_update
 from ..vq import revive_dead_codes, update_usage
 from .state import TrainState
 
-__all__ = ["VQUpdateRule", "make_train_step", "LossFn"]
+__all__ = ["VQUpdateRule", "make_train_step", "make_multi_train_step",
+           "LossFn"]
 
 # loss_fn(params, buffers, rng, batch, ctx) ->
 #   (scalar_total_loss, aux) where aux contains at least
@@ -50,6 +51,7 @@ def make_train_step(
     micro_remainder: int = 0,
     vq_rule: Optional[VQUpdateRule] = None,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build a jitted (state, batch, rng) -> (state, metrics) train step.
 
@@ -196,4 +198,45 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(
+    loss_fn: LossFn,
+    tx: optax.GradientTransformation,
+    ema_rate_trees: Dict[str, Any],
+    steps_per_dispatch: int,
+    microbatches: int = 1,
+    micro_remainder: int = 0,
+    vq_rule: Optional[VQUpdateRule] = None,
+    donate: bool = True,
+):
+    """K train steps per host dispatch, as ONE jitted ``lax.scan``.
+
+    Takes ``batches`` with a leading [K, ...] axis (see
+    parallel/mesh.py::staged_global_batch_from_local) and ``rngs`` [K];
+    returns the state after K steps plus metrics stacked [K, ...]. Every
+    host round-trip — dispatch, Python step overhead, metric fetch — is
+    amortized over K optimizer updates, the standard TPU mitigation for
+    dispatch jitter on a tunnelled/remote runtime. Step semantics are
+    bit-identical to K sequential single-step dispatches: the scan body IS
+    the single-step program, each slice seeing its own batch and the same
+    per-global-step fold_in rng stream the K=1 path uses.
+    """
+    assert steps_per_dispatch > 1, "use make_train_step for K=1"
+    step = make_train_step(
+        loss_fn, tx, ema_rate_trees,
+        microbatches=microbatches, micro_remainder=micro_remainder,
+        vq_rule=vq_rule, jit=False,
+    )
+
+    def multi_step(state: TrainState, batches, rngs, ctx=None):
+        def body(st, inp):
+            rng_k, batch_k = inp
+            return step(st, batch_k, rng_k, ctx)
+
+        return jax.lax.scan(body, state, (rngs, batches))
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
