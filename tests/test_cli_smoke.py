@@ -137,6 +137,26 @@ def test_sample_vqvae_main(vqvae_ckpt, input_wav, tmp_path):
     assert os.path.getsize(out) > 44
 
 
+def test_sample_diffusion_act_int8_smoke(tmp_path):
+    """The off-by-default int8 serving knob still runs when asked for
+    (ops/qact.py is a documented measured-negative; this keeps the flag
+    honest without putting it on any hot path). int8 is unet-only, so this
+    trains its own tiny unet checkpoint."""
+    from vq_voice_swap_tpu.train import DiffusionTrainLoop
+
+    ckpt = _train(
+        DiffusionTrainLoop, tmp_path / "ckpt",
+        ["--predictor", "unet", "--base-channels", "2"],
+    )
+    out = str(tmp_path / "out_int8.wav")
+    _run_main(
+        "sample_diffusion",
+        ["--checkpoint-path", ckpt, "--sample-steps", "2",
+         "--act-int8", "64", "--sample-path", out],
+    )
+    assert os.path.getsize(out) > 44
+
+
 def test_sample_vqvae_uncond_main(vqvae_ckpt, input_wav, tmp_path):
     out = str(tmp_path / "uncond.wav")
     _run_main(

@@ -505,3 +505,42 @@ def test_chunk_writer_raises_on_encoder_failure(tmp_path, monkeypatch):
     writer.write(np.zeros(100, np.float32))
     with pytest.raises(RuntimeError, match="exit 2"):
         writer.close()
+
+
+def test_chirp_dataset_contract():
+    """The harder synthetic fixture: 8 speakers, tones contract (4 s at
+    16 kHz, float32, bounded), deterministic per index, with real
+    within-speaker variance (unlike the tones fixture's pure phase
+    shifts)."""
+    from vq_voice_swap_tpu.data import ChirpDataset
+
+    d = ChirpDataset(items_per_speaker=4)
+    assert len(d) == 32 and len(d.speaker_ids) == 8
+    a, b = d[0], d[0]
+    np.testing.assert_array_equal(a["samples"], b["samples"])
+    assert a["samples"].shape == (64000,)
+    assert a["samples"].dtype == np.float32
+    assert np.abs(a["samples"]).max() <= 0.61
+    assert a["label"] == 0 and d[1]["label"] == 1 and d[9]["label"] == 1
+    # within-speaker variance: same speaker, different items differ
+    assert not np.array_equal(d[0]["samples"], d[8]["samples"])
+    # speakers are spectrally distinct: dominant FFT bin ordering follows
+    # the carrier ladder
+    def peak_hz(x):
+        f = np.fft.rfft(x * np.hanning(len(x)))
+        return np.argmax(np.abs(f)) / 4.0  # 4 s window -> 0.25 Hz bins
+
+    peaks = [peak_hz(d[s]["samples"]) for s in range(8)]
+    assert all(p2 > p1 * 1.15 for p1, p2 in zip(peaks, peaks[1:])), peaks
+
+
+def test_chirp_loader_dispatch():
+    from vq_voice_swap_tpu.data import create_data_loader
+
+    loader, n_labels = create_data_loader(
+        directory="chirps:3", batch_size=8, encoding="ulaw", seed=1
+    )
+    assert n_labels == 8
+    batch = next(iter(loader))
+    assert batch["samples"].shape == (8, 64000)
+    assert set(int(v) for v in batch["label"]) <= set(range(8))

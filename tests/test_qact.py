@@ -252,3 +252,40 @@ def test_diffusion_model_act_int8_save_load_and_override(tmp_path):
     assert forced.act_int8_min_t == 0  # serving-time override
     served, _ = DiffusionModel.load(path, act_int8_min_t=256)
     assert served.predictor.act_int8_min_t == 256
+
+
+# ------------------------------------------------- default-off contract
+
+
+def _lowered_text(module, x, ts):
+    v = module.init(jax.random.key(20), x, ts)
+    return jax.jit(
+        lambda v, x, ts: module.apply(v, x, ts)
+    ).lower(v, x, ts).as_text()
+
+
+def test_default_path_lowers_with_zero_int8_ops():
+    """The measured-negative int8 activation path (PERF.md round 4: slower
+    on all three axes, quality collapse at 5-step DPM++) is OFF by default;
+    this pins the contract: the default UNet forward lowers with ZERO
+    s8 tensors in the HLO, so the feature cannot silently re-enter the hot
+    path. The act_int8_min_t>0 lowering is checked to CONTAIN s8 ops so the
+    scan is sensitive, not vacuous."""
+    import re
+
+    kw = dict(base_channels=8, channel_mult=(1, 2), middle_dilations=(2,),
+              depth_mult=1, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(21), (1, 128, 1))
+    ts = jnp.array([0.5])
+
+    # StableHLO spells the type i8 (e.g. tensor<1x16x8xi8>); the pattern
+    # cannot collide with i18/f8 variants.
+    plain_hlo = _lowered_text(UNetPredictor(**kw), x, ts)
+    assert not re.search(r"i8>", plain_hlo), (
+        "default (bf16) path must contain no int8 tensors"
+    )
+
+    quant_hlo = _lowered_text(UNetPredictor(**kw, act_int8_min_t=32), x, ts)
+    assert re.search(r"i8>", quant_hlo), (
+        "sensitivity check: act_int8_min_t>0 must lower with i8 tensors"
+    )

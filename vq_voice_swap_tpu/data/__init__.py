@@ -9,7 +9,8 @@ from .audio_io import (
     lookup_audio_duration,
     read_audio_input,
 )
-from .datasets import LibriSpeech, ToneDataset, build_file_index
+from .datasets import (ChirpDataset, LibriSpeech, ToneDataset,
+                       build_file_index)
 from .loader import DataLoader, create_data_loader
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "lookup_audio_duration",
     "read_audio_input",
     "LibriSpeech",
+    "ChirpDataset",
     "ToneDataset",
     "build_file_index",
     "DataLoader",

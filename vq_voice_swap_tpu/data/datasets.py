@@ -26,7 +26,8 @@ import numpy as np
 
 from .audio_io import ChunkReader, encode_from_linear, lookup_audio_duration
 
-__all__ = ["LibriSpeech", "ToneDataset", "build_file_index",
+__all__ = ["ChirpDataset", "LibriSpeech", "ToneDataset",
+           "build_file_index",
            "DURATION_ESTIMATE_SLACK", "AUDIO_EXTENSIONS"]
 
 DURATION_ESTIMATE_SLACK = 0.05
@@ -184,4 +185,70 @@ class ToneDataset:
         t = np.arange(self.num_samples, dtype=np.float32) / self.sample_rate
         samples = np.sin((t + phase) * (2 * np.pi * freq)).astype(np.float32)
         samples = encode_from_linear(samples, self.encoding)
+        return {"label": speaker, "samples": samples}
+
+
+class ChirpDataset:
+    """Harder synthetic fixture: 8 "speakers", each a distinct NON-stationary
+    voice — an FM chirp (speaker-specific carrier + sweep depth) with a
+    second harmonic, amplitude tremolo, and Hann-windowed noise bursts —
+    at the tones contract (4 s at 16 kHz, |x| <= ~0.6, deterministic,
+    diskless). Built to test whether sampler-quality rankings measured on
+    the 3-pure-tone manifold survive off it (the tones fixture generalized:
+    reference dataset.py:124-151 is the 3-sine ToneDataset this hardens).
+
+    Every item is fully determined by (speaker, item): speaker fixes the
+    timbre parameters, the item index seeds phases/sweep direction/burst
+    placement — real within-speaker variance, unlike the tones fixture's
+    pure phase shifts.
+    """
+
+    def __init__(self, encoding: str = "linear", sample_rate: int = 16000,
+                 num_samples: int = 64000, items_per_speaker: int = 10):
+        self.encoding = encoding
+        self.sample_rate = sample_rate
+        self.num_samples = num_samples
+        self.items_per_speaker = items_per_speaker
+        self.speaker_ids = list(range(8))
+
+    def __len__(self) -> int:
+        return len(self.speaker_ids) * self.items_per_speaker
+
+    def __getitem__(self, index: int) -> Dict[str, Union[int, np.ndarray]]:
+        n_spk = len(self.speaker_ids)
+        speaker = index % n_spk
+        item = index // n_spk
+        rng = np.random.RandomState(speaker * 100003 + item)
+        sr = self.sample_rate
+        n = self.num_samples
+        t = np.arange(n, dtype=np.float64) / sr
+        dur = n / sr
+
+        # Speaker timbre (fixed per speaker).
+        f0 = 180.0 * (1.32 ** speaker)          # 180 Hz .. ~1.25 kHz
+        fm_depth = 0.20 + 0.05 * speaker        # sweep ratio over the clip
+        am_rate = 1.5 + 0.9 * speaker           # tremolo Hz
+        am_depth = 0.20 + 0.05 * speaker
+        h2 = 0.12 + 0.04 * speaker              # 2nd-harmonic weight
+        bursts_per_sec = 0.5 + 0.5 * (speaker % 4)
+
+        # Item variance: phases, sweep direction, burst placement.
+        phase0 = rng.uniform(0.0, 1.0)
+        sweep = 1.0 if item % 2 == 0 else -1.0
+        inst_freq = f0 * (1.0 + fm_depth * sweep * (t / dur - 0.5))
+        ph = 2 * np.pi * (np.cumsum(inst_freq) / sr + phase0)
+        wave = np.sin(ph) + h2 * np.sin(2.0 * ph + 1.3)
+        trem = np.sin(2 * np.pi * am_rate * t + 2 * np.pi * rng.uniform())
+        wave *= 1.0 - am_depth * 0.5 * (1.0 + trem)
+
+        for _ in range(rng.poisson(bursts_per_sec * dur)):
+            c = rng.randint(0, n)
+            w = rng.randint(sr // 33, sr // 12)  # 30-80 ms half-width
+            lo, hi = max(0, c - w), min(n, c + w)
+            wave[lo:hi] += 0.4 * np.hanning(hi - lo) * rng.randn(hi - lo)
+
+        wave *= 0.6 / max(1.0, np.abs(wave).max() / 0.999)
+        samples = encode_from_linear(
+            np.asarray(wave, dtype=np.float32), self.encoding
+        )
         return {"label": speaker, "samples": samples}

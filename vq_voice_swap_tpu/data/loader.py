@@ -15,7 +15,7 @@ from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
-from .datasets import LibriSpeech, ToneDataset
+from .datasets import ChirpDataset, LibriSpeech, ToneDataset
 
 __all__ = ["create_data_loader", "DataLoader"]
 
@@ -193,6 +193,11 @@ def create_data_loader(
         # (the default fixture caps batch_size at 30 under drop_last).
         phases = int(directory.split(":", 1)[1]) if ":" in directory else 10
         dataset = ToneDataset(encoding=encoding, phases=phases)
+    elif directory == "chirps" or directory.startswith("chirps:"):
+        # Harder synthetic fixture: 8 AM/FM-chirp speakers with noise
+        # bursts (datasets.py::ChirpDataset); "chirps:N" = N items/speaker.
+        items = int(directory.split(":", 1)[1]) if ":" in directory else 10
+        dataset = ChirpDataset(encoding=encoding, items_per_speaker=items)
     else:
         if num_shards > 1:
             # Per-host window-cache dir: the data dir is typically a
