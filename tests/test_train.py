@@ -504,3 +504,22 @@ def test_steps_per_dispatch_vqvae_revival(tmp_path, monkeypatch):
     usage = np.asarray(variables["buffers"]["vq"]["usage_count"])
     assert usage.shape == (8,)
     assert usage.min() >= 0 and usage.max() <= 3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("extra", [("--fsdp",), ("--tensor-parallel", "2")],
+                         ids=["fsdp", "tp2"])
+def test_steps_per_dispatch_with_sharded_state(tmp_path, monkeypatch, extra):
+    """--steps-per-dispatch composes with FSDP / tensor-parallel training:
+    the K-step scan runs over sharded TrainState exactly like the
+    single-step program (the scan body IS that program)."""
+    _patch_loader(monkeypatch)
+    args = _diffusion_args(
+        tmp_path, extra=("--steps-per-dispatch", "2", *extra)
+    )
+    loop = DiffusionTrainLoop(args)
+    loop.loop(max_steps=4)
+    log = open(os.path.join(tmp_path, "train_log.txt")).read()
+    for s in range(1, 5):
+        assert f"step {s}:" in log
+    assert "# saved" in log
