@@ -56,6 +56,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-seconds", type=float, default=None,
                         help="truncate the input to this many seconds")
+    parser.add_argument("--repeat", type=int, default=1,
+                        help="run the conversion N times and report each "
+                             "run's RTF: run 1 pays the (one-off, per-"
+                             "process) XLA compile; later runs measure the "
+                             "steady-state serving rate")
     args = parser.parse_args()
 
     model, variables = VQVAE.load(args.checkpoint_path)
@@ -106,16 +111,18 @@ def main():
         jnp.asarray([args.label]) if model.num_labels is not None else None
     )
 
-    start = time.perf_counter()
-    out = seq_parallel_vqvae_convert(
-        mesh, model, variables, x, jax.random.key(args.seed),
-        labels=labels, steps=args.steps, constrain=True,
-        sampler=args.sampler, eta=args.eta,
-    )
-    out = np.asarray(out)  # host fetch = the only reliable barrier here
-    elapsed = time.perf_counter() - start
-    rtf = (usable / SAMPLE_RATE) / elapsed
-    print(f"decoded in {elapsed:.1f}s ({rtf:.2f}x real time)")
+    for run in range(max(1, args.repeat)):
+        start = time.perf_counter()
+        out = seq_parallel_vqvae_convert(
+            mesh, model, variables, x, jax.random.key(args.seed),
+            labels=labels, steps=args.steps, constrain=True,
+            sampler=args.sampler, eta=args.eta,
+        )
+        out = np.asarray(out)  # host fetch = the only reliable barrier here
+        elapsed = time.perf_counter() - start
+        rtf = (usable / SAMPLE_RATE) / elapsed
+        tag = " (incl. compile)" if run == 0 else ""
+        print(f"decoded in {elapsed:.1f}s ({rtf:.2f}x real time){tag}")
 
     writer = ChunkWriter(args.output, SAMPLE_RATE, encoding=args.encoding)
     try:
