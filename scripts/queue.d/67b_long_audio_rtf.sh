@@ -1,12 +1,14 @@
 #!/bin/bash
 # VERDICT r4 item 3 (final piece): measured long-audio RTF rows at the
-# few-step serving point. Converts ONE continuous 60 s clip through the
-# sequence-parallel conversion path (scripts/long_audio_convert.py) on the
-# real chip (1-device mesh; halo edges zero-masked so the math equals the
-# unsharded decode) at 50-step DDPM vs 5-step DPM++. Each arm runs twice —
-# the first invocation pays compile (cached to runs/jax_cache), the second
-# is the reported row. Uses the swap-protocol VQ-VAE trained by queue
-# step 66 (unet32 class-cond, unet encoder).
+# few-step serving point, on ONE continuous 60 s clip through the
+# sequence-parallel conversion path (1-device mesh on the real chip; halo
+# edges zero-masked so the math equals the unsharded decode).
+#
+# Methodology note (learned from the first execution of this step): the
+# T=960k 50-step program costs ~34 min of XLA compile through the tunnel
+# PER PROCESS, and the persistent compile cache does not serialize it on
+# this backend — so each arm runs --repeat 2 in ONE process: run 1 pays
+# compile, run 2 is the steady-state serving RTF row.
 set -e
 cd "$(dirname "$0")/../.."
 R=runs/qswap
@@ -27,14 +29,12 @@ finally:
 print("wrote /tmp/long60.wav")
 PYEOF
 
-for arm in "ddpm 50" "dpmpp 5"; do
+for arm in "dpmpp 5" "ddpm 50"; do
   set -- $arm
-  for attempt in compile clean; do
-    echo "=== long-audio 60s: sampler=$1 steps=$2 ($attempt) ==="
-    timeout 4000 python scripts/long_audio_convert.py \
-      --checkpoint-path "$R/vqvae/model.npz" --input /tmp/long60.wav \
-      --label 1 --steps "$2" --sampler "$1" \
-      --output "/tmp/long60_${1}${2}.wav"
-  done
+  echo "=== long-audio 60s: sampler=$1 steps=$2 (repeat 2) ==="
+  timeout 5400 python scripts/long_audio_convert.py \
+    --checkpoint-path "$R/vqvae/model.npz" --input /tmp/long60.wav \
+    --label 1 --steps "$2" --sampler "$1" --repeat 2 \
+    --output "/tmp/long60_${1}${2}.wav"
 done
 echo "long_audio_rtf: DONE"
