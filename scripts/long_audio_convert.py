@@ -111,13 +111,20 @@ def main():
         jnp.asarray([args.label]) if model.num_labels is not None else None
     )
 
+    # ONE jitted callable for all runs: the convert body builds fresh
+    # closures per call, so calling it eagerly retraces AND recompiles the
+    # whole T-sharded reverse process every time (measured: ~20-35 min per
+    # call at T=960k through the tunnel). Under an outer jit the second
+    # call is a cache hit — pure execution, the steady-state serving rate.
+    convert = jax.jit(
+        lambda v, xs, key: seq_parallel_vqvae_convert(
+            mesh, model, v, xs, key, labels=labels, steps=args.steps,
+            constrain=True, sampler=args.sampler, eta=args.eta,
+        )
+    )
     for run in range(max(1, args.repeat)):
         start = time.perf_counter()
-        out = seq_parallel_vqvae_convert(
-            mesh, model, variables, x, jax.random.key(args.seed),
-            labels=labels, steps=args.steps, constrain=True,
-            sampler=args.sampler, eta=args.eta,
-        )
+        out = convert(variables, x, jax.random.key(args.seed))
         out = np.asarray(out)  # host fetch = the only reliable barrier here
         elapsed = time.perf_counter() - start
         rtf = (usable / SAMPLE_RATE) / elapsed
