@@ -8,7 +8,9 @@
 # T=960k 50-step program costs ~34 min of XLA compile through the tunnel
 # PER PROCESS, and the persistent compile cache does not serialize it on
 # this backend — so each arm runs --repeat 2 in ONE process: run 1 pays
-# compile, run 2 is the steady-state serving RTF row.
+# compile, run 2 is the steady-state serving RTF row. (The CLI now jits
+# the convert once per process, so run 2 is a pure cache hit — and the
+# jitted program also serializes to the persistent compile cache.)
 set -e
 cd "$(dirname "$0")/../.."
 R=runs/qswap
