@@ -259,3 +259,64 @@ def test_sample_diffusion_tensor_parallel(diffusion_ckpt, tmp_path):
          "--tensor-parallel", "4", "--sample-path", out],
     )
     assert os.path.getsize(out) > 44
+
+
+@pytest.fixture(scope="session")
+def unet_vqvae_ckpt(tmp_path_factory):
+    """Tiny unet-family VQ-VAE (the long-audio path requires a UNet-family
+    encoder)."""
+    from vq_voice_swap_tpu.train import VQVAETrainLoop
+
+    out = tmp_path_factory.mktemp("smoke_unet_vqvae")
+    return _train(
+        VQVAETrainLoop, out,
+        ["--predictor", "unet", "--encoder", "unet", "--base-channels", "2",
+         "--cond-mult", "4", "--dictionary-size", "8", "--class-cond"],
+    )
+
+
+@pytest.mark.slow
+def test_long_audio_convert_repeat_smoke(unet_vqvae_ckpt, tmp_path, capsys):
+    """The minute-scale conversion CLI on the 8-device CPU mesh, --repeat 2.
+    Pins the round-5 retrace fix: the convert is jitted once per process,
+    so run 2 must be dramatically faster than run 1 (which pays compile).
+    A 16 s input keeps local shards larger than the conv halos."""
+    import re
+    import sys
+
+    import numpy as np
+
+    from vq_voice_swap_tpu.data import ChunkWriter
+
+    wav_path = str(tmp_path / "in16.wav")
+    t = np.arange(16 * 16000, dtype=np.float64) / 16000.0
+    w = ChunkWriter(wav_path, 16000)
+    try:
+        w.write((0.4 * np.sin(2 * np.pi * 300.0 * t)).astype(np.float32))
+    finally:
+        w.close()
+
+    out_path = str(tmp_path / "out16.wav")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import long_audio_convert
+
+    argv = sys.argv
+    sys.argv = ["long_audio_convert.py",
+                "--checkpoint-path", unet_vqvae_ckpt,
+                "--input", wav_path, "--output", out_path,
+                "--label", "1", "--steps", "3", "--sampler", "dpmpp",
+                "--repeat", "2"]
+    try:
+        long_audio_convert.main()
+    finally:
+        sys.argv = argv
+
+    out = capsys.readouterr().out
+    times = [float(m) for m in re.findall(r"decoded in ([0-9.]+)s", out)]
+    assert len(times) == 2, out
+    # Run 2 is a jit-cache hit; run 1 includes tracing + compile. The
+    # margin is huge in practice (16x on this config) — assert 3x to stay
+    # robust on slow CI hosts.
+    assert times[1] < times[0] / 3, times
+    assert os.path.getsize(out_path) > 44
